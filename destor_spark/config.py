@@ -1,0 +1,57 @@
+"""Pipeline configuration.
+
+destor selects its strategy space (chunking x sampling x segmenting x
+selection x rewrite) from a text config (reference:
+/root/reference/src/config.c:85-308, destor.config:27-109).  The Spark
+engine mirrors that knob surface with one frozen dataclass; the default
+values are the "reference config" that the pandas oracle and the Spark
+pipeline must both run at for the recall >= 0.99 parity gate
+(FIXTURES.md section 4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling (destor analogue: chunking, src/chunk_phase.c) ---
+    shingle_size: int = 5          # words per shingle (k)
+    # --- MinHash (destor analogue: min-fp sampling, sampling_method.c:12-76)
+    num_hashes: int = 128          # signature length
+    bands: int = 16                # LSH bands (b)
+    rows: int = 8                  # rows per band (r); b*r == num_hashes
+    seed: int = 42                 # hash seed everywhere (matches Spark xxhash64)
+    # --- verification ---
+    tau: float = 0.71              # Jaccard threshold ~ (1/b)^(1/r)
+    # --- SimHash pass ---
+    simhash_bits: int = 64
+    simhash_radius: int = 3        # Hamming-ball radius
+    simhash_blocks: int = 4        # pigeonhole blocks (radius < blocks)
+    # --- substring pass ---
+    substring_len: int = 200       # L: min shared-substring length (chars)
+    # --- skew handling (destor analogue: segment-size bounds
+    #     segmenting_method.c:88-109 and capping cap_rewrite.c) ---
+    bucket_cap: int = 64           # all-pairs above this switch to star pairing
+    bucket_hard_cap: int = 100_000 # buckets above this are logged + star-paired
+    # --- canonical selection (destor: first-copy-wins,
+    #     kvstore_htable.c:44-53; we pin determinism to (warc_ts, url)) ---
+    order_cols: tuple = ("warc_ts", "url")
+    # --- clustering ---
+    max_cc_rounds: int = 50
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows != self.num_hashes:
+            raise ValueError(
+                f"bands*rows ({self.bands}*{self.rows}) != num_hashes "
+                f"({self.num_hashes})"
+            )
+        if self.simhash_radius >= self.simhash_blocks:
+            raise ValueError("pigeonhole needs radius < blocks")
+
+
+DEFAULT_CONFIG = DedupConfig()
+
+# A cheap config for unit tests / the DuckDB-parity driver queries.
+SMALL_CONFIG = DedupConfig(num_hashes=32, bands=8, rows=4, tau=0.6)

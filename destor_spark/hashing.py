@@ -1,0 +1,196 @@
+"""Hash kernels shared by the Spark pipeline and the pandas oracle.
+
+Parity design: the Spark pipeline hashes tokens JVM-side with the
+built-in ``xxhash64`` (whole-stage codegen, seed 42).  Everything
+downstream of the token hashes — shingle mixing, MinHash permutations,
+band keys, SimHash — is plain numpy uint64 arithmetic living here, so
+the pandas oracle and the Spark Arrow UDFs literally execute the same
+code.  ``xxh64`` below is a pure-Python reimplementation of the public
+XXH64 algorithm used only by the oracle (and parity-tested against
+Spark's ``xxhash64`` in tests/test_hash_parity.py).
+
+destor analogue: SHA-1 chunk fingerprinting (reference:
+/root/reference/src/hash_phase.c:25-28) and min-fingerprint feature
+sampling (/root/reference/src/index/sampling_method.c:12-76).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M = 0xFFFFFFFFFFFFFFFF
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+SPARK_XXHASH_SEED = 42  # org.apache.spark.sql.catalyst.expressions.XxHash64
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M
+    return (_rotl(acc, 31) * _P1) & _M
+
+
+def _merge(acc: int, val: int) -> int:
+    acc ^= _round(0, val)
+    return (acc * _P1 + _P4) & _M
+
+
+def xxh64(data: bytes, seed: int = SPARK_XXHASH_SEED) -> int:
+    """XXH64 of raw bytes, unsigned. Matches Spark xxhash64 (mod 2^64)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        h = _merge(h, v1)
+        h = _merge(h, v2)
+        h = _merge(h, v3)
+        h = _merge(h, v4)
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def xxh64_str(s: str, seed: int = SPARK_XXHASH_SEED) -> int:
+    """Signed-int64 view of xxh64 over UTF-8 bytes == Spark F.xxhash64."""
+    u = xxh64(s.encode("utf-8"), seed)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+# ---------------------------------------------------------------------------
+# numpy uint64 kernels (shared: Spark pandas UDFs + pandas oracle)
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_EMPTY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)  # destor's 0xff empty-segment
+# feature sentinel (/root/reference/src/index/sampling_method.c:68-74)
+
+_ERR = np.errstate(over="ignore")  # uint64 wraparound is intentional everywhere
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Rolling polynomial mix of k consecutive token hashes -> uint64.
+
+    Vectorized analogue of destor's content window (Rabin rolling hash,
+    /root/reference/src/chunking/rabin_chunking.c:249-276): the shingle
+    identity is a deterministic mix of its k token hashes.  Returns the
+    deduplicated (np.unique) shingle-hash set of the document.
+    """
+    t = token_hashes.astype(np.uint64, copy=False)
+    n = t.shape[0]
+    if n < k:
+        # short doc: treat the whole token sequence as one shingle
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        k = n
+    m = n - k + 1
+    with _ERR:
+        h = np.full(m, _FNV_OFFSET, dtype=np.uint64)
+        for j in range(k):
+            h = (h ^ t[j : j + m]) * _FNV_PRIME
+    return np.unique(h)
+
+
+def minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic odd multipliers a and offsets b for h' = a*h + b."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash signature: sig[p] = min_s (a[p]*s + b[p]) mod 2^64.
+
+    destor analogue: index_sampling_min keeps the k minimum fingerprints
+    of a segment (/root/reference/src/index/sampling_method.c:12-76);
+    here each of num_hashes permutations keeps its own minimum.
+    Empty documents get the sentinel signature (all 0xFF..).
+    """
+    if shingles.shape[0] == 0:
+        return np.full(a.shape[0], _EMPTY_SENTINEL, dtype=np.uint64)
+    with _ERR:
+        return (a[:, None] * shingles[None, :] + b[:, None]).min(axis=1)
+
+
+def band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Fold each band of r signature entries into one uint64 bucket key.
+
+    FNV-chain over (band_index, sig values) so identical sub-signatures
+    in different bands never collide into the same bucket key space.
+    """
+    s = sig.reshape(bands, rows)
+    with _ERR:
+        h = (_FNV_OFFSET ^ np.arange(bands, dtype=np.uint64)) * _FNV_PRIME
+        for j in range(rows):
+            h = (h ^ s[:, j]) * _FNV_PRIME
+    return h
+
+
+def simhash64(token_hashes: np.ndarray) -> int:
+    """64-bit SimHash over token hashes (frequency-weighted), signed int64.
+
+    Bits of each token hash vote +1/-1 per position; the sketch keeps
+    the sign.  Empty docs -> 0.
+    """
+    t = token_hashes.astype(np.uint64, copy=False)
+    if t.shape[0] == 0:
+        return 0
+    bits = np.unpackbits(t.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - t.shape[0]
+    out = np.uint64(0)
+    onebits = np.flatnonzero(votes > 0)
+    for i in onebits:
+        out |= np.uint64(1) << np.uint64(i)
+    return int(out.astype(np.int64).view(np.int64))
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    return float((sig_a == sig_b).mean())
+
+
+def to_signed(u: np.ndarray) -> np.ndarray:
+    """uint64 -> int64 two's-complement view (Spark LongType carrier)."""
+    return u.astype(np.uint64, copy=False).view(np.int64)
+
+
+def to_unsigned(s: np.ndarray) -> np.ndarray:
+    return np.asarray(s, dtype=np.int64).view(np.uint64)

@@ -1,0 +1,97 @@
+"""Union-find connected components as iterative DataFrame joins.
+
+Implements the alternating Large-Star / Small-Star algorithm (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+public algorithm), which converges in O(log^2 n) rounds regardless of
+component diameter; each round is two groupBy/join stages and we
+localCheckpoint to break lineage (SURVEY.md section 4 custom item 2).
+
+destor analogue: duplicate chunks resolve to the FIRST stored copy via
+the fingerprint index (first-copy-wins,
+/root/reference/src/index/kvstore_htable.c:44-53); document clusters
+resolve every member to the component-minimum node id.
+
+Node ids are the url strings — exact at any scale (no 64-bit hash
+collision risk at 10^12 docs); the string shuffle cost is bounded by
+the edge table, which is tiny relative to the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_neighbor(edges: DataFrame) -> DataFrame:
+    """m(u) = min(neighbors(u) + u) over a symmetric edge table."""
+    return (
+        edges.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to m(u)."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = _min_neighbor(sym)
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Point all smaller-or-equal neighbors (and u) at m(u)."""
+    # orient u > v
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = _min_neighbor(oriented)
+    out = (
+        oriented.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """pairs(url_a, url_b) -> (url, cluster_id) for every url in pairs.
+
+    cluster_id is the lexicographic-minimum url of the component.
+    Singleton nodes are absent (callers union them back).
+    """
+    edges = pairs.select(
+        F.col("url_a").alias("u"), F.col("url_b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # Converged when the relation is a star forest: no child's
+        # parent (v) is itself a child (appears as some u) — i.e. every
+        # edge points directly at a component root.
+        chained = edges.join(
+            edges.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
+        ).count()
+        if chained == 0:
+            break
+
+    # star edges: u -> root v; roots themselves appear only as v
+    members = edges.select(
+        F.col("u").alias("url"), F.col("v").alias("cluster_id")
+    )
+    roots = (
+        edges.select(F.col("v").alias("url"))
+        .distinct()
+        .join(members.select("url"), "url", "left_anti")
+        .withColumn("cluster_id", F.col("url"))
+    )
+    return members.unionByName(roots)

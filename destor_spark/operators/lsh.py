@@ -1,0 +1,131 @@
+"""LSH banding -> bucket join -> candidate pairs, with explicit skew
+handling.
+
+destor analogue: the feature kv index + similarity lookup
+(/root/reference/src/index/kvstore_htable.c:156-168,
+/root/reference/src/index/similarity_detection.c:49-217).  destor does a
+point lookup per feature; at Spark scale the "index" is the exploded
+(band, bucket_key) relation itself and lookup becomes one shuffle that
+co-locates every bucket's members (SURVEY.md J1-J3).
+
+Skew strategy (SURVEY.md section 4 custom item 1; destor analogue:
+segment-size bounds segmenting_method.c:88-109 and capping
+cap_rewrite.c:44-107):
+
+  * bucket size 1 .......... dropped before any pair work (inner join
+                             against the >=2 size table)
+  * 2 <= size <= bucket_cap  all-pairs inside the bucket, generated
+                             JVM-side from a collect_list array (max
+                             cap*(cap-1)/2 pairs per bucket)
+  * size > bucket_cap ...... STAR pairing: every member pairs with the
+                             bucket head (min (warc_ts, url)).  Linear
+                             in bucket size, never materializes a giant
+                             array, and keeps the cluster connected via
+                             union-find transitivity.  The pandas
+                             oracle applies the identical rule, so
+                             assignment parity is preserved.
+
+bucket_stats (band, key, size, strategy) is returned alongside the
+pairs for lineage/metrics (destor jcr analogue).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from destor_spark.config import DedupConfig
+
+
+def explode_bands(sigs: DataFrame) -> DataFrame:
+    """(url, warc_ts, band_keys) -> (url, warc_ts, band, key).
+
+    Empty documents (n_shingles == 0) carry sentinel signatures and are
+    excluded here — destor's empty-segment sentinel feature
+    (/root/reference/src/index/sampling_method.c:68-74) exists so that
+    empties never match each other; we get the same effect by filtering.
+    """
+    return (
+        sigs.filter(F.col("n_shingles") > 0)
+        .select(
+            "url",
+            "warc_ts",
+            F.posexplode("band_keys").alias("band", "key"),
+        )
+    )
+
+
+def bucket_pairs(
+    ex: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Generic bucketed pair generation with the cap/star skew strategy.
+
+    ex: (url, warc_ts, band, key) membership relation.
+    Returns (pairs(url_a, url_b), bucket_stats(band, key, size, strategy));
+    pairs are distinct across buckets, ordered so that
+    (warc_ts_a, url_a) < (warc_ts_b, url_b).
+
+    Shared by the MinHash band pass and the SimHash block pass — both
+    are instances of destor's feature->segment-list index lookup
+    (/root/reference/src/index/kvstore_htable.c:156-168).
+    """
+    sizes = ex.groupBy("band", "key").agg(F.count("*").alias("size"))
+    multi = sizes.filter(F.col("size") >= 2)
+
+    bucket_stats = multi.withColumn(
+        "strategy",
+        F.when(F.col("size") <= cfg.bucket_cap, F.lit("all_pairs")).otherwise(
+            F.lit("star")
+        ),
+    )
+
+    # Inner join drops singleton buckets (the vast majority) before any
+    # pair work; the sizes aggregate is tiny relative to ex.
+    members = ex.join(multi, ["band", "key"])
+
+    # --- small buckets: all-pairs, JVM combination generation ---
+    small = members.filter(F.col("size") <= cfg.bucket_cap)
+    grouped = small.groupBy("band", "key").agg(
+        F.array_sort(
+            F.collect_list(F.struct("warc_ts", "url"))
+        ).alias("ms")
+    )
+    # combinations: for i<j emit (ms[i], ms[j]) — pure JVM transform/flatten
+    pair_array = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["url"].alias("url_a"), y["url"].alias("url_b")
+                ),
+            ),
+        )
+    )
+    small_pairs = grouped.select(F.explode(pair_array).alias("p")).select(
+        "p.url_a", "p.url_b"
+    )
+
+    # --- oversized buckets: star to the bucket head (min (warc_ts,url)) ---
+    big = members.filter(F.col("size") > cfg.bucket_cap)
+    heads = big.groupBy("band", "key").agg(
+        F.min(F.struct("warc_ts", "url")).alias("head")
+    )
+    star_pairs = (
+        big.join(heads, ["band", "key"])
+        .filter(F.col("url") != F.col("head.url"))
+        .select(
+            F.col("head.url").alias("url_a"),
+            F.col("url").alias("url_b"),
+        )
+    )
+
+    pairs = small_pairs.unionByName(star_pairs).distinct()
+    return pairs, bucket_stats
+
+
+def candidate_pairs(
+    sigs: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """MinHash-LSH candidates: explode bands, then bucketed pair gen."""
+    return bucket_pairs(explode_bands(sigs), cfg)

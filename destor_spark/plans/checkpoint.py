@@ -1,0 +1,87 @@
+"""Stage checkpointing with per-partition lineage + metrics.
+
+destor analogue: the recipe + destor.stat pair — every backup persists
+its fingerprint sequence and global counters so later jobs (restore,
+delete, the next backup) resume from durable state
+(/root/reference/src/recipe/recipestore.c:285-400,
+/root/reference/src/destor.c:78-213).
+
+Spark restatement: every pipeline stage writes its output as parquet
+(Iceberg when a catalog is configured — same call sites, see
+sources/catalog.py) plus a manifest json carrying
+(run_id, stage, rows, per-partition row counts, wall seconds).  A
+re-entrant run loads any stage whose manifest says complete instead of
+recomputing — resume-equals-fresh is pinned by tests/test_resume.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class StageRunner:
+    def __init__(self, spark: SparkSession, base_dir: str, run_id: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.run_id = run_id
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        d = os.path.join(self.base_dir, stage)
+        return d, d + ".manifest.json"
+
+    def completed(self, stage: str) -> bool:
+        _, mpath = self._paths(stage)
+        if not os.path.exists(mpath):
+            return False
+        with open(mpath) as f:
+            return json.load(f).get("status") == "complete"
+
+    def run(self, stage: str, fn, repartition: int | None = None) -> DataFrame:
+        """fn() -> DataFrame; materialized once, loaded on resume."""
+        data_dir, mpath = self._paths(stage)
+        if self.completed(stage):
+            return self.spark.read.parquet(data_dir)
+        t0 = time.time()
+        df = fn()
+        if repartition:
+            df = df.repartition(repartition)
+        df.write.mode("overwrite").parquet(data_dir)
+        out = self.spark.read.parquet(data_dir)
+        part_rows = {
+            str(r["pid"]): r["rows"]
+            for r in out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        }
+        manifest = {
+            "status": "complete",
+            "run_id": self.run_id,
+            "stage": stage,
+            "rows": int(sum(part_rows.values())),
+            "n_partitions": len(part_rows),
+            "partition_rows": part_rows,
+            "wall_s": round(time.time() - t0, 3),
+        }
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=1)
+        self._append_metrics(manifest)
+        return out
+
+    def _append_metrics(self, manifest: dict) -> None:
+        """jcr-equivalent metrics log (/root/reference/src/jcr.h:19-61)."""
+        with open(os.path.join(self.base_dir, "metrics.jsonl"), "a") as f:
+            slim = {k: v for k, v in manifest.items() if k != "partition_rows"}
+            f.write(json.dumps(slim) + "\n")
+
+    def metrics(self) -> list[dict]:
+        p = os.path.join(self.base_dir, "metrics.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]

@@ -1,0 +1,134 @@
+"""End-to-end dedup pipeline orchestration.
+
+destor's backup job is 6 pipelined phases over bounded queues
+(/root/reference/src/do_backup.c:32-41); here each phase is a Spark
+stage group with an optional durable checkpoint between them
+(SURVEY.md section 3.1 "Spark restatement"):
+
+  read/extract -> exact pass -> signatures -> LSH pairs -> verify
+     -> [simhash pass] -> union-find -> assignments
+
+`run_pipeline` is the pure in-memory composition (tests, benchmarks);
+`run_checkpointed` wraps every stage in a StageRunner so a killed job
+resumes from the last complete stage with lineage + metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from destor_spark.config import DedupConfig
+from destor_spark.operators import assign as assign_op
+from destor_spark.operators import cluster as cluster_op
+from destor_spark.operators import exact as exact_op
+from destor_spark.operators import lsh as lsh_op
+from destor_spark.operators import minhash as minhash_op
+from destor_spark.operators import shingles as shingles_op
+from destor_spark.operators import simhash as simhash_op
+from destor_spark.operators import substring as substring_op
+from destor_spark.operators import verify as verify_op
+from destor_spark.plans.checkpoint import StageRunner
+
+
+@dataclass
+class PipelineResult:
+    signatures: DataFrame
+    exact_edges: DataFrame
+    candidate_pairs: DataFrame
+    verified_pairs: DataFrame
+    bucket_stats: DataFrame
+    assignments: DataFrame
+
+
+def signatures_stage(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    keyed = pages.select("url", "warc_ts", "text")
+    toks = shingles_op.with_token_hashes(keyed)
+    return minhash_op.with_signatures(toks.drop("text"), cfg)
+
+
+def run_pipeline(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    use_simhash: bool = True,
+    use_substring: bool = False,
+) -> PipelineResult:
+    hashed = exact_op.with_content_hash(pages.select("url", "warc_ts", "text"))
+    exact_edges = exact_op.exact_pairs(hashed)
+
+    sigs = signatures_stage(pages, cfg)
+    pairs, bucket_stats = lsh_op.candidate_pairs(sigs, cfg)
+    verified = verify_op.verify_pairs(pairs, sigs, cfg)
+
+    edge_frames = [
+        exact_edges,
+        verified.select("url_a", "url_b"),
+    ]
+    if use_simhash:
+        edge_frames.append(simhash_op.simhash_pairs(sigs, cfg))
+    if use_substring:
+        edge_frames.append(
+            substring_op.substring_pairs(
+                pages.select("url", "warc_ts", "text"), cfg
+            )
+        )
+
+    all_edges = edge_frames[0]
+    for e in edge_frames[1:]:
+        all_edges = all_edges.unionByName(e)
+    all_edges = all_edges.distinct()
+
+    comps = cluster_op.connected_components(all_edges, cfg.max_cc_rounds)
+    assignment = assign_op.assignments(pages, comps)
+    return PipelineResult(
+        signatures=sigs,
+        exact_edges=exact_edges,
+        candidate_pairs=pairs,
+        verified_pairs=verified,
+        bucket_stats=bucket_stats,
+        assignments=assignment,
+    )
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig,
+    ckpt_dir: str,
+    run_id: str = "r0",
+    use_simhash: bool = True,
+) -> DataFrame:
+    """Checkpointed variant: every stage durable, resume from the last
+    complete one (destor recipe semantics)."""
+    sr = StageRunner(spark, ckpt_dir, run_id)
+
+    sigs = sr.run("signatures", lambda: signatures_stage(pages, cfg))
+    exact_edges = sr.run(
+        "exact_edges",
+        lambda: exact_op.exact_pairs(
+            exact_op.with_content_hash(pages.select("url", "warc_ts", "text"))
+        ),
+    )
+    pairs = sr.run(
+        "candidate_pairs", lambda: lsh_op.candidate_pairs(sigs, cfg)[0]
+    )
+    verified = sr.run(
+        "verified_pairs", lambda: verify_op.verify_pairs(pairs, sigs, cfg)
+    )
+
+    def _edges() -> DataFrame:
+        frames = [exact_edges, verified.select("url_a", "url_b")]
+        if use_simhash:
+            frames.append(simhash_op.simhash_pairs(sigs, cfg))
+        out = frames[0]
+        for e in frames[1:]:
+            out = out.unionByName(e)
+        return out.distinct()
+
+    edges = sr.run("edges", _edges)
+    comps = sr.run(
+        "components",
+        lambda: cluster_op.connected_components(edges, cfg.max_cc_rounds),
+    )
+    return sr.run("assignments", lambda: assign_op.assignments(pages, comps))

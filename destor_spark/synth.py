@@ -1,0 +1,242 @@
+"""Deterministic synthetic web_pages corpus (FIXTURES.md section 2).
+
+Pure function of (seed, n_docs).  Emits the fixed input schema
+(url, warc_ts, html, text, lang) plus a ground-truth table
+(url, dup_class, group_id) used by sanity tests.  The recall gate
+itself compares Spark vs the pandas oracle (FIXTURES.md section 3),
+not vs this construction truth.
+
+Duplicate classes and shares follow FIXTURES.md: exact 15%,
+near 20%, simhash-near 5%, substring 5%, template 10% (must NOT
+cluster), hot-shingle 5%, empty 1%, invalid-utf8 2%, one giant
+cluster, unique filler for the rest.  Token vocabulary is
+Zipf-distributed to create realistic shingle skew.
+
+destor analogue: the reference evaluates on fixed corpora with known
+duplication structure (Kernel/VMDK/RDB, FAST'15 Table 3) driven by
+scripts (/root/reference/scripts/benchmark.sh); this module is the
+equivalent reproducible corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+BASE_TS = np.datetime64("2024-01-01T00:00:00")
+
+_HTML_HEAD = b"<html><head><title>synth</title></head><body><!--TEXT-->"
+_HTML_TAIL = b"<!--/TEXT--></body></html>"
+_BAD_BYTES = b"\xff\xfe\x80\x81<!--garbage\xc3(-->"
+
+
+def _escape(text: str) -> bytes:
+    return (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    ).encode("utf-8")
+
+
+def render_html(text: str, invalid_utf8: bool = False) -> bytes:
+    """Render a page. Inverse of operators.extract.extract_text (byte-exact)."""
+    pre = b"<!--junk " + _BAD_BYTES + b"-->" if invalid_utf8 else b""
+    return pre + _HTML_HEAD + _escape(text) + _HTML_TAIL
+
+
+def _vocab(rng: np.random.Generator, size: int = 30_000) -> np.ndarray:
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    lens = rng.integers(3, 10, size=size)
+    return np.array(["".join(letters[rng.integers(0, 26, size=l)]) for l in lens])
+
+
+def _zipf_ids(rng: np.random.Generator, n: int, vocab_n: int) -> np.ndarray:
+    ids = rng.zipf(1.3, size=n)
+    return (ids - 1) % vocab_n
+
+
+def _doc_tokens(rng: np.random.Generator, vocab: np.ndarray, lo=80, hi=600) -> np.ndarray:
+    n = int(rng.integers(lo, hi))
+    return vocab[_zipf_ids(rng, n, len(vocab))]
+
+
+def _edit(rng: np.random.Generator, toks: np.ndarray, vocab: np.ndarray,
+          frac: float) -> np.ndarray:
+    """Token-level edits (replace/insert/delete) on ~frac of tokens."""
+    toks = toks.copy()
+    n_edit = max(1, int(len(toks) * frac))
+    pos = rng.choice(len(toks), size=min(n_edit, len(toks)), replace=False)
+    ops = rng.integers(0, 3, size=len(pos))
+    out = list(toks)
+    for p, op in sorted(zip(pos.tolist(), ops.tolist()), reverse=True):
+        if op == 0:
+            out[p] = vocab[int(_zipf_ids(rng, 1, len(vocab))[0])]
+        elif op == 1 and len(out) > 10:
+            del out[p]
+        else:
+            out.insert(p, vocab[int(_zipf_ids(rng, 1, len(vocab))[0])])
+    return np.array(out)
+
+
+def _char_noise(rng: np.random.Generator, toks: np.ndarray, frac: float = 0.005
+                ) -> np.ndarray:
+    """Char-level typos in ~frac of tokens (SimHash-near class)."""
+    toks = toks.copy()
+    n_edit = max(1, int(len(toks) * frac))
+    pos = rng.choice(len(toks), size=min(n_edit, len(toks)), replace=False)
+    for p in pos:
+        w = toks[p]
+        i = int(rng.integers(0, len(w)))
+        toks[p] = w[:i] + chr(ord("a") + int(rng.integers(0, 26))) + w[i + 1:]
+    return toks
+
+
+def make_corpus(seed: int, n_docs: int) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Returns (pages, truth).
+
+    pages:  url, warc_ts, html, text, lang
+    truth:  url, dup_class, group_id
+    """
+    rng = np.random.default_rng(seed)
+    vocab = _vocab(rng)
+    langs = np.array(["en", "en", "en", "en", "de", "fr", "es", "xx"])
+
+    texts: list[str] = []
+    classes: list[str] = []
+    groups: list[int] = []
+    invalid_flags: list[bool] = []
+    gid = 0
+
+    def emit(text: str, cls: str, g: int, bad: bool = False) -> None:
+        texts.append(text)
+        classes.append(cls)
+        groups.append(g)
+        invalid_flags.append(bad)
+
+    budget = {
+        "exact": int(n_docs * 0.15),
+        "near": int(n_docs * 0.20),
+        "simhash": int(n_docs * 0.05),
+        "substring": int(n_docs * 0.05),
+        "template": int(n_docs * 0.10),
+        "hot": int(n_docs * 0.05),
+        "empty": max(1, int(n_docs * 0.01)),
+        "invalid": max(1, int(n_docs * 0.02)),
+    }
+    giant_size = min(max(10, n_docs // 100), 20_000)
+
+    # --- giant cluster (union-find convergence fixture) ---
+    base = _doc_tokens(rng, vocab, 200, 400)
+    gid += 1
+    for _ in range(giant_size):
+        emit(" ".join(_edit(rng, base, vocab, float(rng.uniform(0.002, 0.015)))),
+             "giant", gid)
+
+    # --- exact duplicates ---
+    made = 0
+    while made < budget["exact"]:
+        k = int(rng.integers(2, 6))
+        text = " ".join(_doc_tokens(rng, vocab))
+        gid += 1
+        for _ in range(min(k, budget["exact"] - made)):
+            emit(text, "exact", gid)
+            made += 1
+
+    # --- near duplicates (token edits, Jaccard >= tau by construction) ---
+    made = 0
+    while made < budget["near"]:
+        k = int(rng.integers(2, 5))
+        base = _doc_tokens(rng, vocab, 150, 500)
+        gid += 1
+        emit(" ".join(base), "near", gid)
+        made += 1
+        for _ in range(min(k - 1, budget["near"] - made)):
+            frac = float(rng.uniform(0.003, 0.02))
+            emit(" ".join(_edit(rng, base, vocab, frac)), "near", gid)
+            made += 1
+
+    # --- simhash-near (char noise below shingle granularity) ---
+    made = 0
+    while made < budget["simhash"]:
+        base = _doc_tokens(rng, vocab, 150, 400)
+        gid += 1
+        emit(" ".join(base), "simhash", gid)
+        made += 1
+        if made < budget["simhash"]:
+            emit(" ".join(_char_noise(rng, base)), "simhash", gid)
+            made += 1
+
+    # --- substring dups (shared span >= L chars in unique docs) ---
+    made = 0
+    while made < budget["substring"]:
+        span = _doc_tokens(rng, vocab, 60, 100)  # ~400+ chars
+        gid += 1
+        for _ in range(2):
+            if made >= budget["substring"]:
+                break
+            pre = _doc_tokens(rng, vocab, 100, 300)
+            post = _doc_tokens(rng, vocab, 100, 300)
+            emit(" ".join(np.concatenate([pre, span, post])), "substring", gid)
+            made += 1
+
+    # --- templated pages (shared header/footer, unique body; NOT dups) ---
+    header = _doc_tokens(rng, vocab, 25, 35)
+    footer = _doc_tokens(rng, vocab, 15, 25)
+    gid += 1
+    for _ in range(budget["template"]):
+        body = _doc_tokens(rng, vocab, 250, 500)
+        emit(" ".join(np.concatenate([header, body, footer])), "template", gid)
+
+    # --- hot-shingle adversary (one shingle in every doc of the group) ---
+    hot = vocab[_zipf_ids(rng, 5, len(vocab))]
+    gid += 1
+    for _ in range(budget["hot"]):
+        body = _doc_tokens(rng, vocab, 150, 400)
+        cut = int(rng.integers(0, len(body)))
+        emit(" ".join(np.concatenate([body[:cut], hot, body[cut:]])), "hot", gid)
+
+    # --- empty / whitespace-only ---
+    for i in range(budget["empty"]):
+        emit("" if i % 2 == 0 else "   ", "empty", 0)
+
+    # --- invalid-utf8 html (text fine, html has broken encoding bytes) ---
+    for _ in range(budget["invalid"]):
+        emit(" ".join(_doc_tokens(rng, vocab)), "invalid_utf8", 0, bad=True)
+
+    # --- unique filler ---
+    while len(texts) < n_docs:
+        emit(" ".join(_doc_tokens(rng, vocab)), "filler", 0)
+
+    n = len(texts)
+    order = rng.permutation(n)  # shuffle so groups aren't contiguous
+    ts_offsets = rng.permutation(n).astype("timedelta64[s]")
+    rows = {
+        "url": [f"https://synth.test/{seed}/{i:08d}" for i in range(n)],
+        "warc_ts": (BASE_TS + ts_offsets).astype("datetime64[us]"),
+        "text": [texts[j] for j in order],
+        "lang": langs[rng.integers(0, len(langs), size=n)],
+        "_class": [classes[j] for j in order],
+        "_group": [groups[j] for j in order],
+        "_bad": [invalid_flags[j] for j in order],
+    }
+    pages = pd.DataFrame(rows)
+    pages["html"] = [
+        render_html(t, bad) for t, bad in zip(pages["text"], pages["_bad"])
+    ]
+    truth = pages[["url", "_class", "_group"]].rename(
+        columns={"_class": "dup_class", "_group": "group_id"}
+    )
+    pages = pages[["url", "warc_ts", "html", "text", "lang"]]
+    return pages, truth
+
+
+def ensure_corpus(base_dir: str, seed: int, n_docs: int) -> tuple[str, str]:
+    """Materialize (pages, truth) parquet under base_dir; cached by key."""
+    os.makedirs(base_dir, exist_ok=True)
+    pages_path = os.path.join(base_dir, f"web_pages_s{seed}_n{n_docs}.parquet")
+    truth_path = os.path.join(base_dir, f"truth_s{seed}_n{n_docs}.parquet")
+    if not (os.path.exists(pages_path) and os.path.exists(truth_path)):
+        pages, truth = make_corpus(seed, n_docs)
+        pages.to_parquet(pages_path, index=False)
+        truth.to_parquet(truth_path, index=False)
+    return pages_path, truth_path

@@ -1,0 +1,51 @@
+"""Byte-identity extraction gate (north rule: byte-identical text per
+url vs the reference extractor; destor analogue: restore byte-equality,
+/root/reference/src/do_restore.c:110-186)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from destor_spark.operators.extract import extract_text, with_extracted_text
+from destor_spark.synth import make_corpus, render_html
+
+TRICKY = [
+    "",
+    "   ",
+    "plain words here",
+    "with <angle> & ampersand &amp; pre-escaped",
+    "unicode ✓ é 中文 𝄞",
+    "a&lt;b literal entity-looking text",
+    "tabs\tand\nnewlines\r\npreserved",
+]
+
+
+def test_roundtrip_pure():
+    for t in TRICKY:
+        assert extract_text(render_html(t)) == t
+        assert extract_text(render_html(t, invalid_utf8=True)) == t
+
+
+def test_extract_none_cases():
+    assert extract_text(None) is None
+    assert extract_text(b"<html>no markers</html>") is None
+    assert extract_text(b"<!--TEXT-->unclosed") is None
+
+
+def test_spark_extraction_byte_identical(spark, smoke_corpus):
+    pages, _ = smoke_corpus
+    sdf = spark.createDataFrame(pages)
+    out = with_extracted_text(sdf, out_col="text2").select("url", "text", "text2")
+    for r in out.collect():
+        a = hashlib.sha256(r["text"].encode("utf-8")).hexdigest()
+        b = hashlib.sha256(r["text2"].encode("utf-8")).hexdigest()
+        assert a == b, r["url"]
+
+
+def test_corpus_determinism():
+    p1, t1 = make_corpus(seed=5, n_docs=120)
+    p2, t2 = make_corpus(seed=5, n_docs=120)
+    assert p1.equals(p2)
+    assert t1.equals(t2)
+    p3, _ = make_corpus(seed=6, n_docs=120)
+    assert not p1["text"].equals(p3["text"])

@@ -1,0 +1,95 @@
+"""End-to-end pipeline vs the pandas oracle: pair recall/precision and
+exact assignment equality (FIXTURES.md section 3 gates)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from destor_spark.oracle import run_oracle
+from destor_spark.plans.pipeline import run_pipeline
+
+
+def _pair_set(df: pd.DataFrame) -> set[tuple[str, str]]:
+    return {
+        (min(a, b), max(a, b)) for a, b in zip(df["url_a"], df["url_b"])
+    }
+
+
+def _run_both(spark, cfg, pages):
+    from destor_spark.operators.simhash import simhash_pairs
+
+    sdf = spark.createDataFrame(pages)
+    res = run_pipeline(sdf, cfg, use_simhash=True)
+    spark_pairs = (
+        _pair_set(res.verified_pairs.select("url_a", "url_b").toPandas())
+        | _pair_set(res.exact_edges.toPandas())
+        | _pair_set(simhash_pairs(res.signatures, cfg).toPandas())
+    )
+    spark_assign = (
+        res.assignments.select("url", "cluster_id", "is_canonical")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    o = run_oracle(pages, cfg, use_simhash=True)
+    return res, spark_pairs, spark_assign, o
+
+
+@pytest.fixture(scope="module")
+def smoke_run(spark, cfg, smoke_corpus):
+    pages, truth = smoke_corpus
+    return (*_run_both(spark, cfg, pages), truth)
+
+
+def test_assignments_match_oracle(smoke_run):
+    _, _, spark_assign, o, _ = smoke_run
+    oa = o["assignments"][["url", "cluster_id", "is_canonical"]]
+    pd.testing.assert_frame_equal(spark_assign, oa, check_dtype=False)
+
+
+def test_pair_recall_and_precision(smoke_run):
+    _, spark_pairs, _, o, _ = smoke_run
+    oracle_pairs = _pair_set(
+        o["dup_pairs"][o["dup_pairs"]["modality"] != "simhash"]
+    )
+    assert oracle_pairs, "oracle found no pairs — fixture broken"
+    missing = oracle_pairs - spark_pairs
+    recall = 1 - len(missing) / len(oracle_pairs)
+    assert recall >= 0.99, f"recall {recall}: missing {list(missing)[:5]}"
+
+
+def test_truth_classes(smoke_run):
+    """Construction sanity: exact dups cluster together, templates do not."""
+    _, _, spark_assign, _, truth = smoke_run
+    m = spark_assign.merge(truth, on="url")
+    cl = dict(zip(m["url"], m["cluster_id"]))
+    for cls, must_cluster in [("exact", True), ("giant", True)]:
+        sub = m[m["dup_class"] == cls]
+        for g, grp in sub.groupby("group_id"):
+            ids = {cl[u] for u in grp["url"]}
+            if must_cluster:
+                assert len(ids) == 1, f"{cls} group {g} split: {ids}"
+    tmpl = m[m["dup_class"] == "template"]
+    ids = [cl[u] for u in tmpl["url"]]
+    # templated pages share boilerplate but are below tau: no mega-cluster
+    assert pd.Series(ids).value_counts().max() <= 2
+
+
+def test_empty_docs_cluster_only_exactly(smoke_run):
+    _, _, spark_assign, _, truth = smoke_run
+    m = spark_assign.merge(truth, on="url")
+    emp = m[m["dup_class"] == "empty"]
+    # empties dedup via the exact pass (raw text identity) only;
+    # "" and "   " must remain in different clusters
+    assert emp.groupby("cluster_id").size().max() <= (len(emp) + 1) // 2
+
+
+def test_correctness_scale(spark, cfg, correct_corpus):
+    pages, _ = correct_corpus
+    _, spark_pairs, spark_assign, o = _run_both(spark, cfg, pages)
+    oa = o["assignments"][["url", "cluster_id", "is_canonical"]]
+    pd.testing.assert_frame_equal(spark_assign, oa, check_dtype=False)
+    oracle_pairs = _pair_set(o["dup_pairs"])
+    inter = len(oracle_pairs & spark_pairs)
+    assert inter / len(oracle_pairs) >= 0.99
