@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries + the flagship
+dedup pipeline at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; print ONE JSON line
+{"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+--scaling mode (north-rule evidence): run the SAME dedup job at
+local[8] and local[32] on the SAME synthesized corpus (two fresh JVMs,
+sequentially), report docs/sec at both + scaling efficiency
+(eff = (T8/T32)/4), and append the numbers to BENCH.md.  This is the
+sandbox stand-in for N vs 4N executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+
+# corpus sizes for the synthesized web_pages bench (docs)
+_N_BY_SF = {"sf0.001": 1_000, "sf0.01": 5_000, "sf0.1": 50_000}
+
+HEADLINE = [
+    "pricing_summary",
+    "events_rollup",
+    "topk_orders_per_customer",
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "quality_scores",
+    "lang_id",
+    "ann_cosine_topk",
+    "dedup_pipeline_assignments",
+]
+
+
+def _sf_label(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _sf_value(sf_dir: str) -> float:
+    try:
+        return float(_sf_label(sf_dir).replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _corpus_path(n_docs: int) -> str:
+    from destor_spark.synth import ensure_corpus
+
+    cache = os.path.join(REPO, ".bench_cache")
+    pages_path, _ = ensure_corpus(cache, SEED, n_docs)
+    return pages_path
+
+
+def _build(master: str, shuffle: int):
+    from destor_spark.session import build_session
+
+    return build_session(
+        app="destor-bench", master=master, shuffle_partitions=shuffle
+    )
+
+
+def run_dedup_pipeline(spark, pages_path: str) -> tuple[int, float]:
+    """Returns (n_docs, wall_sec) for the full dedup pipeline."""
+    from destor_spark.config import DedupConfig
+    from destor_spark.plans.pipeline import run_pipeline
+
+    pages = spark.read.parquet(pages_path)
+    t0 = time.time()
+    res = run_pipeline(pages, DedupConfig(), use_simhash=True)
+    n = res.assignments.count()
+    return n, time.time() - t0
+
+
+def default_bench() -> None:
+    import destor_spark.queries as Q
+
+    spark = _build(f"local[{CPUS}]", CPUS)
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        per_query[name] = round(time.time() - t0, 3)
+
+    n_docs = _N_BY_SF.get(_sf_label(SF_DIR), 5_000)
+    pages_path = _corpus_path(n_docs)
+    n, wall = run_dedup_pipeline(spark, pages_path)
+    per_query["webpages_dedup_pipeline"] = round(wall, 3)
+    docs_per_sec = round(n / wall, 1)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "operator suite + dedup pipeline wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": _sf_value(SF_DIR),
+                "dedup_docs": n,
+                "dedup_docs_per_sec": docs_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+def scaling_bench(n_docs: int = 50_000) -> None:
+    """Same job, same input, local[8] then local[32] (N vs 4N)."""
+    pages_path = _corpus_path(n_docs)
+    results = {}
+    for cores in (8, 32):
+        spark = _build(f"local[{cores}]", cores)
+        # warm the JVM/reader so we time the job, not class loading
+        spark.read.parquet(pages_path).count()
+        n, wall = run_dedup_pipeline(spark, pages_path)
+        results[cores] = {
+            "docs": n,
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(n / wall, 1),
+        }
+        spark.stop()
+    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    eff = round((t8 / t32) / 4.0, 3)
+    speedup = round(t8 / t32, 2)
+    out = {
+        "metric": "dedup throughput scaling local[8] -> local[32]",
+        "value": eff,
+        "unit": "efficiency",
+        "n_docs": n_docs,
+        "local8": results[8],
+        "local32": results[32],
+        "speedup": speedup,
+        "scaling_efficiency": eff,
+    }
+    print(json.dumps(out))
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            f"\n| {n_docs} | {results[8]['docs_per_sec']} | "
+            f"{results[32]['docs_per_sec']} | {speedup} | {eff} |\n"
+        )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        n = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+        scaling_bench(n)
+    else:
+        default_bench()

@@ -18,6 +18,7 @@ first, exact top-k after (/root/reference/src/index/similarity_detection.c:49-12
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -93,7 +94,6 @@ def brute_force_topk(
 
 def srp_sketch_udf(dim: int, bits: int = 16, seed: int = 42):
     """Signed-random-projection sketch: bits sign bits -> int bucket."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 

@@ -57,7 +57,11 @@ def run_pipeline(
     hashed = exact_op.with_content_hash(pages.select("url", "warc_ts", "text"))
     exact_edges = exact_op.exact_pairs(hashed)
 
-    sigs = signatures_stage(pages, cfg)
+    # persist: the Arrow signature UDF is the expensive stage and is
+    # consumed by four downstream branches (LSH bands, two verify
+    # joins, SimHash blocks) — destor computes each fingerprint once
+    # (/root/reference/src/hash_phase.c); so do we.
+    sigs = signatures_stage(pages, cfg).persist()
     pairs, bucket_stats = lsh_op.candidate_pairs(sigs, cfg)
     verified = verify_op.verify_pairs(pairs, sigs, cfg)
 

@@ -1,0 +1,702 @@
+"""Driver-facing query surface: Spark builders + DuckDB oracle SQL.
+
+Every entry implements one operator family from SURVEY.md section 2 over
+the driver's parquet tables (documents / embeddings / events / lineitem
+/ orders ...), with an EXACTLY equivalent ANSI-SQL formulation for the
+DuckDB oracle.  Portability rules used throughout:
+
+  * hashing: md5 hex strings (identical in both engines); 64-bit
+    numeric hashes derived as ('0x'||substr(md5(x),1,15))::BIGINT in
+    DuckDB == CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT) in Spark.
+  * tokenization: split on single space, drop empty strings.
+  * floats never leave a query: every ratio/score is rounded into
+    integer micro-units (ppm / cents) in BOTH engines, so value hashes
+    cannot drift on float formatting.
+  * every computed column is aliased identically on both sides.
+
+destor parity notes per query are in the builder docstrings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K = 5  # words per shingle (cfg.shingle_size analogue for the SQL-portable pass)
+NUM_MH = 16  # portable MinHash permutations (md5-based, SQL-expressible)
+MH_BANDS = 4
+MH_ROWS = 4
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(text):
+    return F.filter(F.split(text, " "), lambda x: x != F.lit(""))
+
+
+def _shingles(tokens):
+    """distinct word-K-gram strings; caller guarantees size>=K."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(K - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, K), " "),
+        )
+    )
+
+
+_SQL_SHINGLED = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w)-{K-1},0)+1),
+                       i -> array_to_string(w[i:i+{K-1}], ' '))) AS sh
+  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
+        FROM documents)
+  WHERE len(w) >= {K}
+"""
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("w")
+    )
+    return d.filter(F.size("w") >= K).select(
+        "doc_id", _shingles(F.col("w")).alias("sh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha-like content-hash groupBy (SURVEY C6/J1;
+    destor whole-file chunking /root/reference/src/chunk_phase.c:160-170)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").alias("copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("copies") >= 2)
+    )
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT md5(text) AS text_md5, count(*) AS copies, min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+"""
+
+
+def q_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dedup metrics (destor jcr dedup ratio,
+    /root/reference/src/do_backup.c:84-91)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.round(
+            F.lit(1_000_000) * F.count("*") / F.countDistinct(F.md5("text"))
+        )
+        .cast("bigint")
+        .alias("ratio_ppm"),
+    )
+
+
+SQL_DEDUP_RATIO = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       CAST(round(1000000 * count(*) / count(DISTINCT md5(text))) AS BIGINT) AS ratio_ppm
+FROM documents
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (verification-style join;
+    destor similarity scoring = shared-feature counting,
+    /root/reference/src/index/similarity_detection.c:85-98)."""
+    sh = _shingled_docs(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    inter = (
+        e.alias("a")
+        .join(e.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "na")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n", "nb"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.lit(1_000_000)
+                * F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            )
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .filter(F.col("jaccard_ppm") >= 300_000)
+    )
+    return out
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH d AS ({_SQL_SHINGLED}),
+e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       CAST(round(1000000.0 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(round(1000000.0 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) >= 300000
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable MinHash+LSH: md5-string minima as the permutation family
+    (destor min-fp sampling, /root/reference/src/index/sampling_method.c:12-76),
+    banded {MH_BANDS}x{MH_ROWS}, candidates = shared band, output =
+    signature agreement count (>= half)."""
+    sh = _shingled_docs(spark, sf_dir)
+    mh = sh.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(NUM_MH - 1)),
+            lambda p: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s)),
+                )
+            ),
+        ).alias("mh"),
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(
+                        F.slice(F.col("mh"), b * MH_ROWS + 1, MH_ROWS), "|"
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    out = (
+        cand.join(
+            mh.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("ma")),
+            "doc_a",
+        )
+        .join(
+            mh.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.aggregate(
+                F.zip_with(
+                    "ma", "mb", lambda x, y: (x == y).cast("bigint")
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("n_match"),
+        )
+        .filter(F.col("n_match") * 2 >= NUM_MH)
+    )
+    return out
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH d AS ({_SQL_SHINGLED}),
+mh AS (SELECT doc_id,
+        list_transform(range({NUM_MH}), p ->
+          list_aggregate(list_transform(sh, s -> md5(p::varchar || ':' || s)), 'min')) AS mh
+       FROM d),
+bands AS (SELECT doc_id, b AS band,
+            array_to_string(mh[b*{MH_ROWS}+1 : b*{MH_ROWS}+{MH_ROWS}], '|') AS key
+          FROM mh, unnest(range({MH_BANDS})) AS t(b)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+  CAST(list_sum(list_transform(range(1, {NUM_MH}+1),
+       i -> CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+FROM cand
+JOIN mh ma ON cand.doc_a = ma.doc_id
+JOIN mh mb ON cand.doc_b = mb.doc_id
+WHERE CAST(list_sum(list_transform(range(1, {NUM_MH}+1),
+       i -> CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END)) AS BIGINT) * 2 >= {NUM_MH}
+"""
+
+
+def _tok_hash64():
+    return F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit portable SimHash per doc (frequency-weighted bit votes
+    over md5-derived token hashes) — SQL-checkable twin of the 64-bit
+    shingle SimHash in operators/simhash.py."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+    h = tok.select("doc_id", _tok_hash64().alias("hv"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    bits = h.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("bigint").alias("simhash16"))
+
+
+SQL_SIMHASH = (
+    "WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text,' '),"
+    " x -> x != '')) AS w FROM documents),\n"
+    "h AS (SELECT doc_id, ('0x' || substr(md5(w),1,15))::BIGINT AS hv FROM tok),\n"
+    "bits AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(16)
+    )
+    + " FROM h GROUP BY doc_id)\n"
+    "SELECT doc_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    + " AS BIGINT) AS simhash16 FROM bits"
+)
+
+
+def q_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared token-span pairs (7-token contiguous runs) — the
+    SQL-checkable twin of the anchored-gram substring pass
+    (operators/substring.py; destor byte-precision dedup)."""
+    W = 7
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("w")
+    )
+    g = (
+        d.filter(F.size("w") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - F.lit(W - 1)),
+                        lambda i: F.array_join(F.slice(F.col("w"), i, W), " "),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        g.alias("a")
+        .join(g.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_spans"))
+    )
+
+
+SQL_SUBSTRING_SPAN_PAIRS = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w)-6,0)+1),
+        i -> array_to_string(w[i:i+6],' ')))) AS gram
+      FROM t WHERE len(w) >= 7)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_spans
+FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("n_chars2"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(text) AS text_md5, length(text) AS n_chars2,
+       len(list_filter(string_split(text,' '), x -> x != '')) AS n_tokens
+FROM documents
+"""
+
+_STOP = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "den", "von", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "que"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "un", "en", "una"],
+}
+
+
+def _sw_count(toks, lang: str):
+    return F.size(F.filter(toks, lambda t: t.isin(*_STOP[lang])))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID; tie-break priority en>de>fr>es via an
+    explicit CASE chain (identical in the SQL)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        *[_sw_count(toks, lang).alias(f"sc_{lang}") for lang in _STOP],
+    )
+    en, de, fr, es = (F.col(f"sc_{x}") for x in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return scored.select(
+        "doc_id", "sc_en", "sc_de", "sc_fr", "sc_es", pred.alias("pred_lang")
+    )
+
+
+def _sql_inlist(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in _STOP[lang])
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
+           FROM documents),
+s AS (SELECT doc_id,
+  len(list_filter(w, x -> x IN ({_sql_inlist('en')}))) AS sc_en,
+  len(list_filter(w, x -> x IN ({_sql_inlist('de')}))) AS sc_de,
+  len(list_filter(w, x -> x IN ({_sql_inlist('fr')}))) AS sc_fr,
+  len(list_filter(w, x -> x IN ({_sql_inlist('es')}))) AS sc_es
+  FROM t)
+SELECT doc_id, sc_en, sc_de, sc_fr, sc_es,
+  CASE WHEN sc_en >= sc_de AND sc_en >= sc_fr AND sc_en >= sc_es THEN 'en'
+       WHEN sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+       WHEN sc_fr >= sc_es THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM s
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality-filter features, integer ppm units."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = _tokens(t)
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    sw = _sw_count(toks, "en")
+    one = F.greatest(n_tok, F.lit(1))
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars2"),
+        n_tok.alias("n_tokens"),
+        F.round(F.lit(1_000_000) * tok_chars / one)
+        .cast("bigint")
+        .alias("avg_token_len_ppm"),
+        F.round(F.lit(1_000_000) * sw / one)
+        .cast("bigint")
+        .alias("stopword_ppm"),
+        F.round(
+            F.lit(1_000_000) * n_alpha / F.greatest(F.length(t), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("alpha_ppm"),
+    )
+
+
+SQL_QUALITY_SCORES = f"""
+WITH t AS (SELECT doc_id, text,
+             list_filter(string_split(text,' '), x -> x != '') AS w
+           FROM documents)
+SELECT doc_id,
+  length(text) AS n_chars2,
+  len(w) AS n_tokens,
+  CAST(round(1000000.0 * list_sum(list_transform(w, x -> length(x)))
+        / greatest(len(w), 1)) AS BIGINT) AS avg_token_len_ppm,
+  CAST(round(1000000.0 * len(list_filter(w, x -> x IN ({_sql_inlist('en')})))
+        / greatest(len(w), 1)) AS BIGINT) AS stopword_ppm,
+  CAST(round(1000000.0 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        / greatest(length(text), 1)) AS BIGINT) AS alpha_ppm
+FROM t
+"""
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SQL_TOKEN_TOPK = """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(list_filter(string_split(text,' '), x -> x != '')) AS token
+      FROM documents)
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search family
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10, queries = vec_id % 100 == 0; ranking
+    on integer micro-similarity so cross-engine float noise can't flip
+    an order (see operators/ann.py for the SRP-bucketed scale path)."""
+    from destor_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(emb, queries, k=10)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    CAST(round(1000000.0 *
+      list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))))) AS BIGINT) AS msim
+  FROM q, c WHERE query_id != neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, msim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY msim DESC, neighbor_id ASC) AS rank
+           FROM scored)
+SELECT query_id, rank, neighbor_id, msim FROM ranked WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational / metrics family (SURVEY 2.7, 2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage metrics rollup shape (destor jcr counters,
+    /root/reference/src/jcr.h:19-61)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value") * 100).cast("bigint").alias("sum_value_cents"),
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked top-k window (destor champion-segment top-k,
+    /root/reference/src/index/similarity_detection.c:85-123)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "rnk",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_custkey, rnk, o_orderkey, price_cents FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate (exercises scan+filter+groupBy+agg;
+    destor analogue: global stats accumulation,
+    /root/reference/src/do_backup.c:102-110)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("sum_base_cents"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100
+            )
+            .cast("bigint")
+            .alias("sum_disc_cents"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_cents
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible entries (rows-only driver check; pytest gates them)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_pipeline_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full MinHash/LSH/union-find pipeline over the
+    documents table (url := doc_id).  Gated by the pandas-oracle
+    equality tests in tests/test_pipeline.py; the driver records a
+    rows-only check here (xxhash64+Arrow-UDF chain is not ANSI SQL)."""
+    from destor_spark.config import DedupConfig
+    from destor_spark.plans.pipeline import run_pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.timestamp_seconds(F.col("doc_id") + F.lit(1_700_000_000)).alias(
+            "warc_ts"
+        ),
+        "text",
+    )
+    cfg = DedupConfig(tau=0.5)
+    res = run_pipeline(pages, cfg, use_simhash=True)
+    return res.assignments.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "is_canonical",
+        "cluster_size",
+    )
+
+
+def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed ANN (scale path; recall<1 by design => rows-only)."""
+    from destor_spark.operators.ann import srp_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return srp_topk(emb, queries, dim=64, k=10, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "exact_dup_groups": q_exact_dup_groups,
+    "dedup_ratio": q_dedup_ratio,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "substring_span_pairs": q_substring_span_pairs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_topk": q_token_topk,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "events_rollup": q_events_rollup,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "pricing_summary": q_pricing_summary,
+    "dedup_pipeline_assignments": q_dedup_pipeline_assignments,
+    "srp_ann_topk": q_srp_ann_topk,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "dedup_ratio": SQL_DEDUP_RATIO,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "substring_span_pairs": SQL_SUBSTRING_SPAN_PAIRS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "lang_id": SQL_LANG_ID,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "token_topk": SQL_TOKEN_TOPK,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "topk_orders_per_customer": SQL_TOPK_ORDERS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    # dedup_pipeline_assignments / srp_ann_topk: intentionally omitted
+    # (non-SQL-expressible; rows-only driver check, pytest-gated)
+}

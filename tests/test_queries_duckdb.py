@@ -1,0 +1,66 @@
+"""Local replica of the driver's DuckDB-oracle comparison: for every
+query with an oracle, run Spark and DuckDB at sf0.001 and compare row
+count, column names, and an order-insensitive value hash."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import destor_spark.queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(int)
+        elif pd.api.types.is_numeric_dtype(df[c]):
+            df[c] = pd.to_numeric(df[c]).astype("int64", errors="ignore")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(Q.ORACLE_SQL))
+def test_query_matches_duckdb(spark, ddb, name):
+    sp = Q.QUERIES[name](spark, SF_DIR).toPandas()
+    du = ddb.sql(Q.ORACLE_SQL[name]).df()
+    assert sorted(sp.columns) == sorted(du.columns), (
+        f"{name} column mismatch: {sorted(sp.columns)} vs {sorted(du.columns)}"
+    )
+    assert len(sp) == len(du), f"{name} rows {len(sp)} vs {len(du)}"
+    a, b = _normalize(sp), _normalize(du)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False), name
+
+
+def test_rows_only_queries(spark):
+    for name in set(Q.QUERIES) - set(Q.ORACLE_SQL):
+        df = Q.QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert set(E.oracle_sql()) <= set(E.queries())

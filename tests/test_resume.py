@@ -1,0 +1,68 @@
+"""Checkpoint/resume: kill-after-stage-k resume must equal a fresh run
+(destor recipe + destor.stat semantics, SURVEY.md section 5.2)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from destor_spark.plans.pipeline import run_checkpointed
+
+
+@pytest.fixture()
+def ckpt_dir(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _assign_pdf(df):
+    return df.toPandas().sort_values("url").reset_index(drop=True)
+
+
+def test_resume_equals_fresh(spark, cfg, smoke_corpus, ckpt_dir):
+    pages_pd, _ = smoke_corpus
+    pages = spark.createDataFrame(pages_pd)
+
+    fresh = _assign_pdf(
+        run_checkpointed(spark, pages, cfg, ckpt_dir + "_fresh", "rA")
+    )
+
+    # simulate a job killed after the signature+pairs stages: run fully,
+    # then delete the later stages and resume
+    run_checkpointed(spark, pages, cfg, ckpt_dir, "rB")
+    for stage in ("edges", "components", "assignments"):
+        os.remove(os.path.join(ckpt_dir, f"{stage}.manifest.json"))
+        shutil.rmtree(os.path.join(ckpt_dir, stage))
+    resumed = _assign_pdf(run_checkpointed(spark, pages, cfg, ckpt_dir, "rC"))
+
+    pd.testing.assert_frame_equal(fresh, resumed, check_dtype=False)
+
+
+def test_metrics_lineage(spark, cfg, smoke_corpus, ckpt_dir):
+    import json
+
+    pages_pd, _ = smoke_corpus
+    pages = spark.createDataFrame(pages_pd)
+    run_checkpointed(spark, pages, cfg, ckpt_dir, "rM")
+    metrics = [
+        json.loads(line)
+        for line in open(os.path.join(ckpt_dir, "metrics.jsonl"))
+    ]
+    stages = [m["stage"] for m in metrics]
+    assert stages == [
+        "signatures",
+        "exact_edges",
+        "candidate_pairs",
+        "verified_pairs",
+        "edges",
+        "components",
+        "assignments",
+    ]
+    for m in metrics:
+        assert m["rows"] >= 0 and m["wall_s"] > 0 and m["run_id"] == "rM"
+    # per-partition lineage present in the stage manifest
+    with open(os.path.join(ckpt_dir, "signatures.manifest.json")) as f:
+        man = json.load(f)
+    assert sum(man["partition_rows"].values()) == man["rows"] == len(pages_pd)
