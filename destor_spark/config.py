@@ -35,6 +35,9 @@ class DedupConfig:
     #     segmenting_method.c:88-109 and capping cap_rewrite.c) ---
     bucket_cap: int = 64           # all-pairs above this switch to star pairing
     bucket_hard_cap: int = 100_000 # buckets above this are logged + star-paired
+    lsh_two_phase: bool = False    # True: size-preagg + semi-join path that
+                                   # never holds a bucket in one task (extreme
+                                   # skew regime); same pair semantics
     # --- canonical selection (destor: first-copy-wins,
     #     kvstore_htable.c:44-53; we pin determinism to (warc_ts, url)) ---
     order_cols: tuple = ("warc_ts", "url")

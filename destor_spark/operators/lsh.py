@@ -65,10 +65,87 @@ def bucket_pairs(
     pairs are distinct across buckets, ordered so that
     (warc_ts_a, url_a) < (warc_ts_b, url_b).
 
+    Two physical strategies with IDENTICAL pair semantics (the pandas
+    oracle mirrors the semantics, not the physical shape):
+
+      * single-phase (default, cfg.lsh_two_phase=False): ONE groupBy
+        collects each bucket, pairs generated JVM-side from the array.
+        2 shuffles total.  A bucket materializes as one in-task array —
+        fine up to millions of members, the regime the cap/star rule
+        already targets.
+      * two-phase (cfg.lsh_two_phase=True): pre-aggregate bucket sizes,
+        drop singletons by semi-join, all-pairs only for small buckets,
+        star via a separate min-aggregate + join so no task ever holds
+        an oversized bucket in memory.  4 shuffles; the choice for
+        pathological hot buckets (boilerplate shingles at 10^12 docs).
+
     Shared by the MinHash band pass and the SimHash block pass — both
     are instances of destor's feature->segment-list index lookup
     (/root/reference/src/index/kvstore_htable.c:156-168).
     """
+    if not getattr(cfg, "lsh_two_phase", False):
+        return _bucket_pairs_single_phase(ex, cfg)
+    return _bucket_pairs_two_phase(ex, cfg)
+
+
+def _combos(ms):
+    """All i<j pairs of a sorted member-struct array, pure JVM."""
+    return F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(
+                    x["url"].alias("url_a"), y["url"].alias("url_b")
+                ),
+            ),
+        )
+    )
+
+
+def _star(ms):
+    """head-to-member pairs (head = ms[0] = min (warc_ts, url))."""
+    head = F.element_at(ms, 1)["url"]
+    return F.transform(
+        F.slice(ms, 2, F.size(ms)),
+        lambda y: F.struct(head.alias("url_a"), y["url"].alias("url_b")),
+    )
+
+
+def _bucket_pairs_single_phase(
+    ex: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    grouped = (
+        ex.groupBy("band", "key")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("warc_ts", "url"))).alias(
+                "ms"
+            )
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    bucket_stats = grouped.select(
+        "band",
+        "key",
+        F.size("ms").alias("size"),
+        F.when(F.size("ms") <= cfg.bucket_cap, F.lit("all_pairs"))
+        .otherwise(F.lit("star"))
+        .alias("strategy"),
+    )
+    pair_array = F.when(
+        F.size("ms") <= cfg.bucket_cap, _combos(F.col("ms"))
+    ).otherwise(_star(F.col("ms")))
+    pairs = (
+        grouped.select(F.explode(pair_array).alias("p"))
+        .select("p.url_a", "p.url_b")
+        .distinct()
+    )
+    return pairs, bucket_stats
+
+
+def _bucket_pairs_two_phase(
+    ex: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
     sizes = ex.groupBy("band", "key").agg(F.count("*").alias("size"))
     multi = sizes.filter(F.col("size") >= 2)
 

@@ -44,6 +44,14 @@ class PipelineResult:
 
 def signatures_stage(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     keyed = pages.select("url", "warc_ts", "text")
+    # the Arrow UDF is the CPU-bound stage: if the input arrives in
+    # fewer splits than the cluster has slots (small local files, or a
+    # freshly compacted table), spread it; on a well-partitioned 100 TB
+    # table this is a no-op.
+    spark = pages.sparkSession
+    want = spark.sparkContext.defaultParallelism * 2
+    if keyed.rdd.getNumPartitions() < want:
+        keyed = keyed.repartition(want)
     toks = shingles_op.with_token_hashes(keyed)
     return minhash_op.with_signatures(toks.drop("text"), cfg)
 
@@ -57,13 +65,20 @@ def run_pipeline(
     hashed = exact_op.with_content_hash(pages.select("url", "warc_ts", "text"))
     exact_edges = exact_op.exact_pairs(hashed)
 
-    # persist: the Arrow signature UDF is the expensive stage and is
-    # consumed by four downstream branches (LSH bands, two verify
-    # joins, SimHash blocks) — destor computes each fingerprint once
-    # (/root/reference/src/hash_phase.c); so do we.
+    # Persist AND eagerly materialize the reused stages.  Eager counts
+    # matter: a cold cache consumed by several subtrees of one action
+    # recomputes the whole lineage per subtree (cache blocks only land
+    # as tasks finish), which multiplied the wall time ~2x measured at
+    # 50k docs.  destor's phases are hard barriers between queues
+    # (/root/reference/src/do_backup.c:32-41); these counts are the same
+    # barriers.
     sigs = signatures_stage(pages, cfg).persist()
+    sigs.count()
     pairs, bucket_stats = lsh_op.candidate_pairs(sigs, cfg)
-    verified = verify_op.verify_pairs(pairs, sigs, cfg)
+    pairs = pairs.persist()
+    pairs.count()
+    verified = verify_op.verify_pairs(pairs, sigs, cfg).persist()
+    verified.count()
 
     edge_frames = [
         exact_edges,
@@ -102,6 +117,7 @@ def run_checkpointed(
     ckpt_dir: str,
     run_id: str = "r0",
     use_simhash: bool = True,
+    use_substring: bool = False,
 ) -> DataFrame:
     """Checkpointed variant: every stage durable, resume from the last
     complete one (destor recipe semantics)."""
@@ -125,6 +141,12 @@ def run_checkpointed(
         frames = [exact_edges, verified.select("url_a", "url_b")]
         if use_simhash:
             frames.append(simhash_op.simhash_pairs(sigs, cfg))
+        if use_substring:
+            frames.append(
+                substring_op.substring_pairs(
+                    pages.select("url", "warc_ts", "text"), cfg
+                )
+            )
         out = frames[0]
         for e in frames[1:]:
             out = out.unionByName(e)

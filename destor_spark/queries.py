@@ -354,6 +354,56 @@ GROUP BY 1, 2
 """
 
 
+def q_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 most similar docs by exact n-gram Jaccard —
+    destor's greedy champion-segment top-k selection
+    (/root/reference/src/index/similarity_detection.c:85-123) as a
+    ranking window over the verified pair table."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor"),
+        "jaccard_ppm",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor"),
+            "jaccard_ppm",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard_ppm"), F.asc("neighbor")
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "neighbor", "jaccard_ppm")
+    )
+
+
+SQL_TOPK_SIMILAR_DOCS = f"""
+WITH d AS ({_SQL_SHINGLED}),
+e AS (SELECT doc_id, unnest(sh) AS s FROM d),
+sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(round(1000000.0 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) AS jaccard_ppm
+  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(round(1000000.0 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) >= 300000),
+sym AS (SELECT doc_a AS doc_id, doc_b AS neighbor, jaccard_ppm FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS neighbor, jaccard_ppm FROM pairs)
+SELECT doc_id, rnk, neighbor, jaccard_ppm FROM (
+  SELECT doc_id, neighbor, jaccard_ppm,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jaccard_ppm DESC, neighbor ASC) AS rnk
+  FROM sym) WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis family
 # ---------------------------------------------------------------------------
@@ -667,6 +717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dup_groups": q_exact_dup_groups,
     "dedup_ratio": q_dedup_ratio,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "topk_similar_docs": q_topk_similar_docs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "substring_span_pairs": q_substring_span_pairs,
@@ -686,6 +737,7 @@ ORACLE_SQL: dict[str, str] = {
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "dedup_ratio": SQL_DEDUP_RATIO,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "topk_similar_docs": SQL_TOPK_SIMILAR_DOCS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash": SQL_SIMHASH,
     "substring_span_pairs": SQL_SUBSTRING_SPAN_PAIRS,

@@ -34,6 +34,11 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # small local files must still split across all cores (the
+        # Arrow signature UDF is CPU-bound); on a real cluster the
+        # Iceberg table brings many files and this only caps stragglers
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

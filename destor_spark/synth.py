@@ -237,6 +237,9 @@ def ensure_corpus(base_dir: str, seed: int, n_docs: int) -> tuple[str, str]:
     truth_path = os.path.join(base_dir, f"truth_s{seed}_n{n_docs}.parquet")
     if not (os.path.exists(pages_path) and os.path.exists(truth_path)):
         pages, truth = make_corpus(seed, n_docs)
-        pages.to_parquet(pages_path, index=False)
-        truth.to_parquet(truth_path, index=False)
+        # small row groups keep the single file splittable across tasks
+        # (one row group == one parquet split == destor's container as
+        # the unit of parallel IO, containerstore.h:13)
+        pages.to_parquet(pages_path, index=False, row_group_size=2048)
+        truth.to_parquet(truth_path, index=False, row_group_size=2048)
     return pages_path, truth_path

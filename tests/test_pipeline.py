@@ -93,3 +93,28 @@ def test_correctness_scale(spark, cfg, correct_corpus):
     oracle_pairs = _pair_set(o["dup_pairs"])
     inter = len(oracle_pairs & spark_pairs)
     assert inter / len(oracle_pairs) >= 0.99
+
+
+def test_substring_pass_matches_oracle(spark, cfg):
+    """Third modality: anchored-gram substring pairs, Spark == oracle."""
+    from destor_spark.synth import make_corpus
+
+    pages, truth = make_corpus(seed=21, n_docs=150)
+    sdf = spark.createDataFrame(pages)
+    res = run_pipeline(sdf, cfg, use_simhash=False, use_substring=True)
+    o = run_oracle(pages, cfg, use_simhash=False, use_substring=True)
+    oa = o["assignments"][["url", "cluster_id", "is_canonical"]]
+    sa = (
+        res.assignments.select("url", "cluster_id", "is_canonical")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sa, oa, check_dtype=False)
+    # substring-class groups must be connected by the substring pass
+    m = sa.merge(truth, on="url")
+    sub = m[m["dup_class"] == "substring"]
+    assert len(sub) >= 2
+    joined = {g: set(grp["cluster_id"]) for g, grp in sub.groupby("group_id")}
+    n_connected = sum(1 for ids in joined.values() if len(ids) == 1)
+    assert n_connected / len(joined) >= 0.9, joined
