@@ -669,6 +669,80 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag window —
+    the batch shape of destor's content-defined segmenting
+    (/root/reference/src/index/segmenting_method.c:72-112): a boundary
+    wherever the local predicate fires, then a running sum labels runs."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ntz -> ltz -> long; the fixed tz offset cancels in the difference
+    ep = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = ep - F.lag(ep).over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_start"),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("is_start").over(w)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+           OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_id,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (subtotals + grand total) — metrics-table shape
+    (destor lifetime stat accumulation, /root/reference/src/destor.c:215-261)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("__ALL__")).alias(
+                "event_type"
+            ),
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+SQL_ROLLUP_EVENTS = """
+SELECT coalesce(event_type, '__ALL__') AS event_type, count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible entries (rows-only driver check; pytest gates them)
 # ---------------------------------------------------------------------------
@@ -727,6 +801,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_topk": q_token_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "events_rollup": q_events_rollup,
+    "sessionize": q_sessionize,
+    "rollup_events": q_rollup_events,
     "topk_orders_per_customer": q_topk_orders_per_customer,
     "pricing_summary": q_pricing_summary,
     "dedup_pipeline_assignments": q_dedup_pipeline_assignments,
@@ -747,6 +823,8 @@ ORACLE_SQL: dict[str, str] = {
     "token_topk": SQL_TOKEN_TOPK,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "events_rollup": SQL_EVENTS_ROLLUP,
+    "sessionize": SQL_SESSIONIZE,
+    "rollup_events": SQL_ROLLUP_EVENTS,
     "topk_orders_per_customer": SQL_TOPK_ORDERS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     # dedup_pipeline_assignments / srp_ann_topk: intentionally omitted
