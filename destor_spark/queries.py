@@ -743,6 +743,79 @@ FROM events GROUP BY ROLLUP(event_type)
 """
 
 
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim enrichment join: orders x customer x nation.  Dims are
+    broadcast (verified in .explain: BroadcastHashJoin both hops) — the
+    shape destor's container-meta lookup takes in Spark
+    (/root/reference/src/storage/containerstore.c:217-356 -> broadcast
+    the small metadata side)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+
+
+SQL_JOIN_ENRICH = """
+SELECT o_orderkey, c_name, n_name AS nation,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_purchasers_no_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops / anti-join: users who purchased but never errored —
+    the GC anti-join shape (live set minus expired set,
+    /root/reference/src/cma.c:83-139)."""
+    e = _t(spark, sf_dir, "events")
+    buyers = e.filter("event_type = 'purchase'").select("user_id").distinct()
+    errs = e.filter("event_type = 'error'").select("user_id").distinct()
+    return buyers.join(errs, "user_id", "left_anti").select("user_id")
+
+
+SQL_PURCHASERS_NO_ERRORS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per event type (destor's CBR
+    utility-histogram dynamic threshold,
+    /root/reference/src/cbr_rewrite.c:20-55).  Rounded to micro-units;
+    both engines use linear interpolation at (n-1)*q."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", q) * 1_000_000)
+            .cast("bigint")
+            .alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+  CAST(round(quantile_cont(value, 0.5)  * 1000000) AS BIGINT) AS p50,
+  CAST(round(quantile_cont(value, 0.9)  * 1000000) AS BIGINT) AS p90,
+  CAST(round(quantile_cont(value, 0.99) * 1000000) AS BIGINT) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible entries (rows-only driver check; pytest gates them)
 # ---------------------------------------------------------------------------
@@ -805,6 +878,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_events": q_rollup_events,
     "topk_orders_per_customer": q_topk_orders_per_customer,
     "pricing_summary": q_pricing_summary,
+    "join_enrich": q_join_enrich,
+    "purchasers_no_errors": q_purchasers_no_errors,
+    "value_quantiles": q_value_quantiles,
     "dedup_pipeline_assignments": q_dedup_pipeline_assignments,
     "srp_ann_topk": q_srp_ann_topk,
 }
@@ -827,6 +903,9 @@ ORACLE_SQL: dict[str, str] = {
     "rollup_events": SQL_ROLLUP_EVENTS,
     "topk_orders_per_customer": SQL_TOPK_ORDERS,
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "join_enrich": SQL_JOIN_ENRICH,
+    "purchasers_no_errors": SQL_PURCHASERS_NO_ERRORS,
+    "value_quantiles": SQL_VALUE_QUANTILES,
     # dedup_pipeline_assignments / srp_ann_topk: intentionally omitted
     # (non-SQL-expressible; rows-only driver check, pytest-gated)
 }
