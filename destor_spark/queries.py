@@ -560,6 +560,48 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup modality over the
+    embedding space): all pairs with cosine >= 0.99 in integer
+    micro-units.  Brute force here (the oracle-checkable baseline);
+    operators/ann.srp_topk is the bucketed scale path."""
+    from destor_spark.operators.ann import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")) * 1_000_000)
+            .cast("bigint")
+            .alias("msim"),
+        )
+        .filter(F.col("msim") >= 990_000)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP_PAIRS = """
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    CAST(round(1000000.0 *
+      list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.v, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(b.v, x -> x::DOUBLE * x::DOUBLE))))) AS BIGINT) AS msim
+  FROM e a, e b WHERE a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, msim FROM scored WHERE msim >= 990000
+"""
+
+
 SQL_ANN_COSINE_TOPK = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id % 100 = 0),
@@ -873,6 +915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "token_topk": q_token_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "events_rollup": q_events_rollup,
     "sessionize": q_sessionize,
     "rollup_events": q_rollup_events,
@@ -898,6 +941,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_scores": SQL_QUALITY_SCORES,
     "token_topk": SQL_TOKEN_TOPK,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "sessionize": SQL_SESSIONIZE,
     "rollup_events": SQL_ROLLUP_EVENTS,
