@@ -190,7 +190,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).alias("mh"),
-    )
+    ).persist()  # consumed by banding + two signature joins
     bands = mh.select(
         "doc_id",
         F.explode(

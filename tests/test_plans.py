@@ -1,0 +1,55 @@
+"""Physical-plan assertions: the optimizations we rely on must be
+visible in .explain output (column pruning, filter pushdown, broadcast
+joins) — SURVEY.md section 4 'what Catalyst gives us for free' made
+checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_column_pruning_signature_scan(spark, cfg, tmp_path):
+    """The signature stage must never read html (the heavy column)."""
+    from destor_spark.plans.pipeline import signatures_stage
+    from destor_spark.synth import make_corpus
+
+    p = str(tmp_path / "pages.parquet")
+    make_corpus(3, 50)[0].to_parquet(p, index=False)
+    pages = spark.read.parquet(p)
+    plan = _plan(signatures_stage(pages, cfg))
+    assert "html" not in plan, plan[:800]
+    assert "ReadSchema" in plan
+
+
+def test_filter_pushdown_parquet(spark):
+    q = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    # pruned read schema: only the two referenced columns
+    assert "l_extendedprice" not in plan
+
+
+def test_broadcast_join_dims(spark):
+    from destor_spark.queries import q_join_enrich
+
+    plan = _plan(q_join_enrich(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2, plan[:1200]
+
+
+def test_ann_broadcast_no_shuffle(spark):
+    from destor_spark.operators.ann import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = brute_force_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" in plan

@@ -44,3 +44,33 @@ def test_incremental_dedup_across_batches(spark, cfg, tmp_path):
     for g in split_groups:
         want_any = {frozenset((g[0], u)) for u in g[1:]}
         assert got & want_any, f"cross-batch dup not detected for group {g}"
+
+
+def test_stream_exact_dedup_watermark(spark, tmp_path):
+    """Watermarked streaming exact dedup: duplicates within the
+    watermark horizon are dropped (destor's bounded fingerprint cache,
+    fast15 sec 4.1)."""
+    import os
+
+    from destor_spark.streaming.dedup_stream import stream_exact_dedup
+    from destor_spark.synth import make_corpus
+
+    in_dir = str(tmp_path / "in2")
+    os.makedirs(in_dir)
+    pages, truth = make_corpus(seed=13, n_docs=150)
+    pages.to_parquet(os.path.join(in_dir, "all.parquet"), index=False)
+
+    out = stream_exact_dedup(spark, in_dir, watermark="10 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from dedup_out").toPandas()
+    # exactly one row per distinct text survives
+    n_unique = pages["text"].nunique()
+    assert len(got) == n_unique
+    assert got["content_sha"].nunique() == len(got)
