@@ -133,6 +133,11 @@ def run_checkpointed(
     pairs = sr.run(
         "candidate_pairs", lambda: lsh_op.candidate_pairs(sigs, cfg)[0]
     )
+    # bucket_stats persisted per run: the destor-HAR pattern — this
+    # run's hot-bucket inventory informs the next run's salting and is
+    # part of the per-partition lineage (har_rewrite.c:17-180 inherits
+    # the previous backup's sparse-container list the same way).
+    sr.run("bucket_stats", lambda: lsh_op.candidate_pairs(sigs, cfg)[1])
     verified = sr.run(
         "verified_pairs", lambda: verify_op.verify_pairs(pairs, sigs, cfg)
     )

@@ -55,6 +55,7 @@ def test_metrics_lineage(spark, cfg, smoke_corpus, ckpt_dir):
         "signatures",
         "exact_edges",
         "candidate_pairs",
+        "bucket_stats",
         "verified_pairs",
         "edges",
         "components",
