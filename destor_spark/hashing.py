@@ -194,3 +194,4 @@ def to_signed(u: np.ndarray) -> np.ndarray:
 
 def to_unsigned(s: np.ndarray) -> np.ndarray:
     return np.asarray(s, dtype=np.int64).view(np.uint64)
+
