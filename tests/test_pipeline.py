@@ -118,3 +118,20 @@ def test_substring_pass_matches_oracle(spark, cfg):
     joined = {g: set(grp["cluster_id"]) for g, grp in sub.groupby("group_id")}
     n_connected = sum(1 for ids in joined.values() if len(ids) == 1)
     assert n_connected / len(joined) >= 0.9, joined
+
+
+def test_recall_gate_20k(spark, cfg):
+    """FIXTURES.md t2 scale: ~20k docs, dup-pair recall >= 0.99 vs the
+    oracle AND exact assignment equality at the reference config."""
+    from destor_spark.synth import make_corpus
+
+    pages, _ = make_corpus(seed=42, n_docs=20000)
+    _, spark_pairs, spark_assign, o = _run_both(spark, cfg, pages)
+    oa = o["assignments"][["url", "cluster_id", "is_canonical"]]
+    pd.testing.assert_frame_equal(spark_assign, oa, check_dtype=False)
+    oracle_pairs = _pair_set(o["dup_pairs"])
+    assert oracle_pairs
+    recall = len(oracle_pairs & spark_pairs) / len(oracle_pairs)
+    precision = len(oracle_pairs & spark_pairs) / max(len(spark_pairs), 1)
+    assert recall >= 0.99, recall
+    assert precision >= 0.99, precision
