@@ -74,3 +74,36 @@ def test_stream_exact_dedup_watermark(spark, tmp_path):
     n_unique = pages["text"].nunique()
     assert len(got) == n_unique
     assert got["content_sha"].nunique() == len(got)
+
+
+def test_stateful_keep_first_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-hash state suppresses later copies
+    even when they arrive in later micro-batches."""
+    import os
+
+    from destor_spark.streaming.stateful_dedup import stateful_exact_dedup
+    from destor_spark.synth import make_corpus
+
+    in_dir = str(tmp_path / "in3")
+    os.makedirs(in_dir)
+    pages, _ = make_corpus(seed=17, n_docs=120)
+    # two files => at least two micro-batches (maxFilesPerTrigger=2
+    # with availableNow still partitions work into batches)
+    pages.iloc[:60].to_parquet(os.path.join(in_dir, "a.parquet"), index=False)
+    pages.iloc[60:].to_parquet(os.path.join(in_dir, "b.parquet"), index=False)
+
+    out = stateful_exact_dedup(spark, in_dir)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_out")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from stateful_out").toPandas()
+    assert len(got) == pages["text"].nunique()
+    assert got["content_sha"].nunique() == len(got)
+    # the emitted row per hash is the (warc_ts, url)-minimum... within
+    # its first-arriving batch; across-batch suppression is the claim
+    assert got["url"].is_unique
