@@ -1,0 +1,70 @@
+"""Spark-free sanity tests of the pandas oracle itself on a handmade
+corpus with known ground truth (guards the guard)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from destor_spark.config import DedupConfig
+from destor_spark.oracle import run_oracle
+
+
+def _pages(rows):
+    df = pd.DataFrame(rows, columns=["url", "text"])
+    df["warc_ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        range(len(df)), unit="s"
+    )
+    return df[["url", "warc_ts", "text"]]
+
+
+BASE = " ".join(f"tok{i % 37}x{i % 11}" for i in range(300))
+NEAR = BASE.replace("tok5x5", "changed", 1)
+OTHER = " ".join(f"other{i % 41}y{i % 13}" for i in range(250))
+
+
+def test_exact_and_near_cluster():
+    pages = _pages(
+        [
+            ("u/a", BASE),
+            ("u/b", BASE),          # exact dup of a
+            ("u/c", NEAR),          # near dup of a
+            ("u/d", OTHER),         # unrelated
+            ("u/e", ""),            # empty
+        ]
+    )
+    o = run_oracle(pages, DedupConfig(), use_simhash=True)
+    cl = dict(zip(o["assignments"]["url"], o["assignments"]["cluster_id"]))
+    assert cl["u/a"] == cl["u/b"] == cl["u/c"]
+    assert cl["u/d"] != cl["u/a"]
+    assert cl["u/e"] != cl["u/a"]
+    canon = dict(
+        zip(o["assignments"]["url"], o["assignments"]["is_canonical"])
+    )
+    assert canon["u/a"] and not canon["u/b"] and not canon["u/c"]
+    mods = set(o["dup_pairs"]["modality"])
+    assert "exact" in mods and "minhash" in mods
+
+
+def test_empty_docs_pair_only_exactly():
+    pages = _pages([("u/1", ""), ("u/2", ""), ("u/3", "   ")])
+    o = run_oracle(pages, DedupConfig(), use_simhash=True)
+    cl = dict(zip(o["assignments"]["url"], o["assignments"]["cluster_id"]))
+    assert cl["u/1"] == cl["u/2"]      # identical raw text
+    assert cl["u/3"] != cl["u/1"]      # different whitespace != dup
+    assert set(o["dup_pairs"]["modality"]) == {"exact"}
+
+
+def test_oracle_order_invariance():
+    rows = [("u/a", BASE), ("u/b", BASE), ("u/c", NEAR), ("u/d", OTHER)]
+    a = run_oracle(_pages(rows), DedupConfig(), use_simhash=False)
+    b = run_oracle(_pages(rows[::-1]), DedupConfig(), use_simhash=False)
+    pa = a["assignments"].sort_values("url").reset_index(drop=True)
+    pb = b["assignments"].sort_values("url").reset_index(drop=True)
+    # warc_ts differs by construction order, so compare cluster shape
+    assert list(pa["cluster_id"] == pa["url"]) == list(
+        pb["cluster_id"] == pb["url"]
+    )
+    assert (
+        pa.groupby("cluster_id")["url"].apply(frozenset).sort_values().tolist()
+        == pb.groupby("cluster_id")["url"].apply(frozenset).sort_values().tolist()
+    )
