@@ -134,6 +134,18 @@ def minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+# Shingle block size for the MinHash workspace.  The num_hashes x
+# _MH_CHUNK uint64 workspace (128 x 1024 = 1 MB) is allocated once per
+# process and reused for every document: the naive broadcast
+# (a[:,None]*shingles[None,:]) materializes a multi-MB temporary PER
+# DOCUMENT, which glibc serves via mmap/munmap (>128 KB threshold) —
+# at 32 concurrent workers the munmap TLB shootdowns drove system CPU
+# to 80% and made the signature stage anti-scale with core count
+# (measured: 41 s at local[8] vs 78-101 s at local[32] on 100k docs).
+_MH_CHUNK = 1024
+_MH_WS: dict[int, np.ndarray] = {}
+
+
 def minhash_signature(
     shingles: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
@@ -143,11 +155,28 @@ def minhash_signature(
     of a segment (/root/reference/src/index/sampling_method.c:12-76);
     here each of num_hashes permutations keeps its own minimum.
     Empty documents get the sentinel signature (all 0xFF..).
+
+    Computed blockwise into a cached workspace (min over block minima ==
+    global min, so the result is bit-identical to the one-shot
+    broadcast) to keep every temporary below the malloc mmap threshold.
     """
+    num = a.shape[0]
     if shingles.shape[0] == 0:
-        return np.full(a.shape[0], _EMPTY_SENTINEL, dtype=np.uint64)
+        return np.full(num, _EMPTY_SENTINEL, dtype=np.uint64)
+    ws = _MH_WS.get(num)
+    if ws is None:
+        ws = _MH_WS[num] = np.empty((num, _MH_CHUNK), dtype=np.uint64)
+    sig = np.full(num, _EMPTY_SENTINEL, dtype=np.uint64)
+    a_col = a[:, None]
+    b_col = b[:, None]
     with _ERR:
-        return (a[:, None] * shingles[None, :] + b[:, None]).min(axis=1)
+        for i in range(0, shingles.shape[0], _MH_CHUNK):
+            s = shingles[i : i + _MH_CHUNK]
+            w = ws[:, : s.shape[0]]
+            np.multiply(a_col, s[None, :], out=w)
+            np.add(w, b_col, out=w)
+            np.minimum(sig, w.min(axis=1), out=sig)
+    return sig
 
 
 def band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
@@ -173,8 +202,18 @@ def simhash64(token_hashes: np.ndarray) -> int:
     t = token_hashes.astype(np.uint64, copy=False)
     if t.shape[0] == 0:
         return 0
-    bits = np.unpackbits(t.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-    votes = bits.sum(axis=0, dtype=np.int64) * 2 - t.shape[0]
+    # blockwise vote accumulation: unpackbits on the whole hash set
+    # allocates 64 bytes/hash in one temporary (mmap churn per doc, see
+    # minhash_signature note); 1024-hash blocks stay under the malloc
+    # mmap threshold and the int64 vote sum is order-independent.
+    votes = np.zeros(64, dtype=np.int64)
+    for i in range(0, t.shape[0], 1024):
+        blk = t[i : i + 1024]
+        bits = np.unpackbits(
+            blk.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        votes += bits.sum(axis=0, dtype=np.int64)
+    votes = votes * 2 - t.shape[0]
     out = np.uint64(0)
     onebits = np.flatnonzero(votes > 0)
     for i in onebits:

@@ -15,18 +15,52 @@ import os
 from pyspark.sql import SparkSession
 
 
+# glibc malloc tuning for the Python UDF workers: without a fixed mmap
+# threshold, numpy temporaries above 128 KB are served by mmap and
+# returned by munmap on free — at 32 concurrent workers the munmap TLB
+# shootdowns put the host at 80% system CPU and made the CPU-bound
+# Arrow UDF stage anti-scale with core count.  A high fixed threshold
+# keeps big temporaries on the arena heap (reused, no syscalls).  The
+# kernels in hashing.py also cap their temporaries (workspace reuse),
+# so this is defense-in-depth for any future UDF.
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(64 * 1024 * 1024),
+    "MALLOC_TRIM_THRESHOLD_": str(64 * 1024 * 1024),
+    # pyarrow's bundled jemalloc purges dirty pages with madvise — the
+    # same TLB-shootdown churn, one IPC batch at a time.  The "system"
+    # pool routes Arrow buffers through the tuned glibc malloc above.
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
+}
+
+
 def build_session(
     app: str = "destor-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
+    # local mode: python workers fork from the JVM, which inherits the
+    # driver env — set it before the JVM starts.  Cluster mode: the
+    # spark.executorEnv.* configs below carry the same values.
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     cores = os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cores))
         )
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # Pin the heap (Xms=Xmx) and use the throughput collector: G1's
+    # region uncommit + the default growable heap madvise/commit pages
+    # continuously under the token-array allocation churn of the
+    # tokenize stage — kernel time that scales WITH core count (TLB
+    # shootdowns hit every core).  ParallelGC with a pinned heap does
+    # no uncommit; measured: signature stage 53-187 s -> stable ~30 s
+    # at local[32] on 100k docs.
+    java_opts = os.environ.get(
+        "SPARK_GRAFT_JAVA_OPTS", f"-Xms{driver_mem} -XX:+UseParallelGC"
+    )
     b = (
         SparkSession.builder.appName(app)
         .master(master)
@@ -41,10 +75,14 @@ def build_session(
         .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", java_opts)
+        .config("spark.executor.extraJavaOptions", java_opts.replace(f"-Xms{driver_mem} ", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in _MALLOC_ENV.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
