@@ -147,12 +147,10 @@ def scaling_bench(n_docs: int = 50_000) -> None:
         "speedup": speedup,
         "scaling_efficiency": eff,
     }
+    # Single-shot numbers on this shared VM swing up to 4x with host
+    # load; perf_scaling.py (probe-gated, min-of-repeats) is the
+    # protocol of record for BENCH.md — this mode only prints JSON.
     print(json.dumps(out))
-    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
-        f.write(
-            f"\n| {n_docs} | {results[8]['docs_per_sec']} | "
-            f"{results[32]['docs_per_sec']} | {speedup} | {eff} |\n"
-        )
 
 
 if __name__ == "__main__":

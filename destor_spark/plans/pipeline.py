@@ -15,6 +15,10 @@ resumes from the last complete stage with lineage + metrics.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +46,36 @@ class PipelineResult:
     assignments: DataFrame
 
 
+def _materialize(df: DataFrame, tag: str, root: str) -> DataFrame:
+    """Stage barrier: parquet round-trip instead of .persist().
+
+    Spark's in-memory columnar cache is pathological for this data
+    shape — array<bigint> columns (128-long signatures, band keys) go
+    through per-element generic encoders on BOTH the build and every
+    read.  Measured at 100k docs / local[32], signature table + one
+    LSH consumer pass (min of 3 alternating repeats): persist 125 s,
+    localCheckpoint 111 s, parquet round-trip 68 s.  Parquet's
+    vectorized array codec wins on both sides, and the barrier
+    semantics (destor's bounded inter-phase queues,
+    /root/reference/src/do_backup.c:32-41) are identical.
+
+    On a multi-executor cluster the same pattern holds with a shared
+    root (set SPARK_GRAFT_MAT_DIR to a cluster-visible path), and the
+    durable variant of this barrier is StageRunner (run_checkpointed).
+    """
+    path = os.path.join(root, tag)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _mat_root() -> str:
+    root = tempfile.mkdtemp(
+        prefix="destor_mat_", dir=os.environ.get("SPARK_GRAFT_MAT_DIR")
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 def signatures_stage(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     keyed = pages.select("url", "warc_ts", "text")
     # the Arrow UDF is the CPU-bound stage: if the input arrives in
@@ -65,20 +99,18 @@ def run_pipeline(
     hashed = exact_op.with_content_hash(pages.select("url", "warc_ts", "text"))
     exact_edges = exact_op.exact_pairs(hashed)
 
-    # Persist AND eagerly materialize the reused stages.  Eager counts
-    # matter: a cold cache consumed by several subtrees of one action
-    # recomputes the whole lineage per subtree (cache blocks only land
-    # as tasks finish), which multiplied the wall time ~2x measured at
-    # 50k docs.  destor's phases are hard barriers between queues
-    # (/root/reference/src/do_backup.c:32-41); these counts are the same
+    # Materialize the reused stages eagerly (parquet barrier, see
+    # _materialize).  Eagerness matters: a lazy stage consumed by
+    # several subtrees of one action recomputes the whole lineage per
+    # subtree, which multiplied the wall time ~2x measured at 50k docs.
+    # destor's phases are hard barriers between queues
+    # (/root/reference/src/do_backup.c:32-41); these are the same
     # barriers.
-    sigs = signatures_stage(pages, cfg).persist()
-    sigs.count()
+    root = _mat_root()
+    sigs = _materialize(signatures_stage(pages, cfg), "sigs", root)
     pairs, bucket_stats = lsh_op.candidate_pairs(sigs, cfg)
-    pairs = pairs.persist()
-    pairs.count()
-    verified = verify_op.verify_pairs(pairs, sigs, cfg).persist()
-    verified.count()
+    pairs = _materialize(pairs, "pairs", root)
+    verified = _materialize(verify_op.verify_pairs(pairs, sigs, cfg), "verified", root)
 
     edge_frames = [
         exact_edges,

@@ -1,10 +1,22 @@
 #!/usr/bin/env python
 """Repeat-and-take-min scaling measurement (noisy-neighbor-robust).
 
-This sandbox is a Firecracker VM; single-shot wall clocks swing 2-4x
-with host steal.  Protocol: alternate local[8]/local[32] runs of the
-SAME job on the SAME input, N repeats each, report the MIN wall per
-core count (the least-interfered observation) + all raw samples.
+This sandbox is a shared Firecracker VM; effective machine capacity
+swings up to ~4x with host oversubscription (vCPU lock-holder
+preemption shows up as guest *system* time with modest visible steal,
+so single-shot wall clocks are untrustworthy).  Protocol:
+
+  1. Before every timed run, a 32-process pure-numpy CALIBRATION PROBE
+     measures current effective throughput.  Trials started while the
+     probe reads below --probe-floor of the session-best are retried
+     (up to a bounded number of waits) rather than recorded.
+  2. local[8]/local[32] runs of the SAME job on the SAME input
+     alternate, N repeats each; report the MIN wall per core count
+     (the least-interfered observation) plus every raw sample and its
+     probe reading, so the filtering is auditable.
+
+This is the sandbox stand-in for the north rule's N-vs-4N-executor
+criterion (no real cluster is available here).
 """
 import json
 import os
@@ -15,6 +27,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+PROBE_FLOOR = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "0.7"))
+MAX_WAITS = int(os.environ.get("SPARK_GRAFT_MAX_WAITS", "6"))
 
 RUN_SNIPPET = r"""
 import sys, time, json, os
@@ -31,6 +45,30 @@ n = res.assignments.count()
 print("RESULT " + json.dumps({{"cores": {cores}, "docs": n, "wall": round(time.time()-t0, 2)}}))
 spark.stop()
 """
+
+PROBE_SNIPPET = r"""
+import multiprocessing as mp, time, json
+
+def burn(n):
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+if __name__ == "__main__":
+    N = 4_000_000
+    t0 = time.time()
+    with mp.Pool(32) as p:
+        p.map(burn, [N] * 32)
+    print(json.dumps({"probe_ops_per_sec": round(32 * N / (time.time() - t0))}))
+"""
+
+
+def probe() -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", PROBE_SNIPPET], capture_output=True, text=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])["probe_ops_per_sec"]
 
 
 def one_run(cores: int, path: str) -> dict:
@@ -49,13 +87,34 @@ def main() -> None:
     from destor_spark.synth import ensure_corpus
 
     path, _ = ensure_corpus(os.path.join(REPO, ".bench_cache"), 42, N_DOCS)
-    samples: dict[int, list[float]] = {8: [], 32: []}
+    samples: dict[int, list[dict]] = {8: [], 32: []}
+    best_probe = probe()
+    print(f"probe baseline {best_probe:.3g} ops/s", flush=True)
     for r in range(REPEATS):
         for cores in (8, 32):
+            waits = 0
+            while True:
+                p = probe()
+                best_probe = max(best_probe, p)
+                if p >= PROBE_FLOOR * best_probe or waits >= MAX_WAITS:
+                    break
+                waits += 1
+                print(
+                    f"degraded window (probe {p/best_probe:.2f} of best), "
+                    f"waiting 60s ({waits}/{MAX_WAITS})",
+                    flush=True,
+                )
+                time.sleep(60)
             res = one_run(cores, path)
-            samples[cores].append(res["wall"])
-            print(f"run {r} cores={cores} wall={res['wall']}", flush=True)
-    t8, t32 = min(samples[8]), min(samples[32])
+            res["probe_frac"] = round(p / best_probe, 3)
+            samples[cores].append(res)
+            print(
+                f"run {r} cores={cores} wall={res['wall']} "
+                f"probe_frac={res['probe_frac']}",
+                flush=True,
+            )
+    t8 = min(s["wall"] for s in samples[8])
+    t32 = min(s["wall"] for s in samples[32])
     eff = round((t8 / t32) / 4.0, 3)
     out = {
         "metric": "dedup scaling local[8]->local[32], min of repeats",

@@ -28,7 +28,7 @@ def main() -> None:
         simhash as simhash_op,
         verify as verify_op,
     )
-    from destor_spark.plans.pipeline import signatures_stage
+    from destor_spark.plans.pipeline import _mat_root, _materialize, signatures_stage
     from destor_spark.session import build_session
     from destor_spark.synth import ensure_corpus
 
@@ -38,6 +38,7 @@ def main() -> None:
     pages.count()  # warm
 
     cfg = DedupConfig()
+    root = _mat_root()
     stages: dict[str, float] = {}
     t_all = time.time()
 
@@ -48,19 +49,16 @@ def main() -> None:
     stages["exact"] = round(time.time() - t, 2)
 
     t = time.time()
-    sigs = signatures_stage(pages, cfg).persist()
-    sigs.count()
+    sigs = _materialize(signatures_stage(pages, cfg), "sigs", root)
     stages["signatures"] = round(time.time() - t, 2)
 
     t = time.time()
     pairs, _stats = lsh_op.candidate_pairs(sigs, cfg)
-    pairs = pairs.persist()
-    pairs.count()
+    pairs = _materialize(pairs, "pairs", root)
     stages["lsh_pairs"] = round(time.time() - t, 2)
 
     t = time.time()
-    verified = verify_op.verify_pairs(pairs, sigs, cfg).persist()
-    verified.count()
+    verified = _materialize(verify_op.verify_pairs(pairs, sigs, cfg), "verified", root)
     stages["verify"] = round(time.time() - t, 2)
 
     t = time.time()
