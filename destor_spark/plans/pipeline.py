@@ -96,9 +96,6 @@ def run_pipeline(
     use_simhash: bool = True,
     use_substring: bool = False,
 ) -> PipelineResult:
-    hashed = exact_op.with_content_hash(pages.select("url", "warc_ts", "text"))
-    exact_edges = exact_op.exact_pairs(hashed)
-
     # Materialize the reused stages eagerly (parquet barrier, see
     # _materialize).  Eagerness matters: a lazy stage consumed by
     # several subtrees of one action recomputes the whole lineage per
@@ -107,6 +104,19 @@ def run_pipeline(
     # (/root/reference/src/do_backup.c:32-41); these are the same
     # barriers.
     root = _mat_root()
+
+    # Exact pass: exact_pairs self-joins its input, and the raw-text
+    # scan + sha2 would run once PER JOIN SIDE — barrier the tiny
+    # (url, warc_ts, content_sha) projection first so text is scanned
+    # and hashed exactly once here.
+    hashed = _materialize(
+        exact_op.with_content_hash(pages.select("url", "warc_ts", "text")).drop(
+            "text"
+        ),
+        "hashed",
+        root,
+    )
+    exact_edges = exact_op.exact_pairs(hashed)
     sigs = _materialize(signatures_stage(pages, cfg), "sigs", root)
     pairs, bucket_stats = lsh_op.candidate_pairs(sigs, cfg)
     pairs = _materialize(pairs, "pairs", root)
@@ -156,11 +166,17 @@ def run_checkpointed(
     sr = StageRunner(spark, ckpt_dir, run_id)
 
     sigs = sr.run("signatures", lambda: signatures_stage(pages, cfg))
+    # content-hash projection checkpointed first: exact_pairs self-joins
+    # its input, so deriving it straight from pages would scan + sha2
+    # the raw text once per join side.
+    hashed = sr.run(
+        "content_hashes",
+        lambda: exact_op.with_content_hash(
+            pages.select("url", "warc_ts", "text")
+        ).drop("text"),
+    )
     exact_edges = sr.run(
-        "exact_edges",
-        lambda: exact_op.exact_pairs(
-            exact_op.with_content_hash(pages.select("url", "warc_ts", "text"))
-        ),
+        "exact_edges", lambda: exact_op.exact_pairs(hashed)
     )
     pairs = sr.run(
         "candidate_pairs", lambda: lsh_op.candidate_pairs(sigs, cfg)[0]

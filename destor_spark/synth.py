@@ -237,9 +237,14 @@ def ensure_corpus(base_dir: str, seed: int, n_docs: int) -> tuple[str, str]:
     truth_path = os.path.join(base_dir, f"truth_s{seed}_n{n_docs}.parquet")
     if not (os.path.exists(pages_path) and os.path.exists(truth_path)):
         pages, truth = make_corpus(seed, n_docs)
-        # small row groups keep the single file splittable across tasks
-        # (one row group == one parquet split == destor's container as
-        # the unit of parallel IO, containerstore.h:13)
-        pages.to_parquet(pages_path, index=False, row_group_size=2048)
-        truth.to_parquet(truth_path, index=False, row_group_size=2048)
+        # Row groups keep the single file splittable across tasks (one
+        # row group == one parquet split == destor's container as the
+        # unit of parallel IO, containerstore.h:13) — but every scan
+        # task parses the FULL footer, so the group count must stay
+        # bounded: 2048-row groups at 1M docs meant a 488-group footer
+        # parsed by ~250 tasks per scan, which made the first pipeline
+        # stage scale 30x for 10x data.  Cap at ~128 groups per file.
+        rg = max(2048, n_docs // 128)
+        pages.to_parquet(pages_path, index=False, row_group_size=rg)
+        truth.to_parquet(truth_path, index=False, row_group_size=rg)
     return pages_path, truth_path

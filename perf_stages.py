@@ -43,9 +43,14 @@ def main() -> None:
     t_all = time.time()
 
     t = time.time()
-    hashed = exact_op.with_content_hash(pages.select("url", "warc_ts", "text"))
-    exact_edges = exact_op.exact_pairs(hashed).persist()
-    exact_edges.count()
+    hashed = _materialize(
+        exact_op.with_content_hash(pages.select("url", "warc_ts", "text")).drop(
+            "text"
+        ),
+        "hashed",
+        root,
+    )
+    exact_edges = _materialize(exact_op.exact_pairs(hashed), "exact_edges", root)
     stages["exact"] = round(time.time() - t, 2)
 
     t = time.time()

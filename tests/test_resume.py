@@ -53,6 +53,7 @@ def test_metrics_lineage(spark, cfg, smoke_corpus, ckpt_dir):
     stages = [m["stage"] for m in metrics]
     assert stages == [
         "signatures",
+        "content_hashes",
         "exact_edges",
         "candidate_pairs",
         "bucket_stats",
