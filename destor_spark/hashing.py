@@ -135,14 +135,18 @@ def minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 # Shingle block size for the MinHash workspace.  The num_hashes x
-# _MH_CHUNK uint64 workspace (128 x 1024 = 1 MB) is allocated once per
+# _MH_CHUNK uint64 workspace (128 x 256 = 256 KB) is allocated once per
 # process and reused for every document: the naive broadcast
 # (a[:,None]*shingles[None,:]) materializes a multi-MB temporary PER
 # DOCUMENT, which glibc serves via mmap/munmap (>128 KB threshold) —
 # at 32 concurrent workers the munmap TLB shootdowns drove system CPU
 # to 80% and made the signature stage anti-scale with core count
 # (measured: 41 s at local[8] vs 78-101 s at local[32] on 100k docs).
-_MH_CHUNK = 1024
+# 256 (not 1024): the workspace must stay L2-resident — at 32
+# concurrent workers a 1 MB working set spills to the shared L3/DRAM
+# and the kernel goes memory-bandwidth-bound (measured 8->32-worker
+# speedup 1.2x at chunk 1024 vs 2.4x at chunk 256).
+_MH_CHUNK = 256
 _MH_WS: dict[int, np.ndarray] = {}
 
 
