@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Opportunistic scaling sampler.
+
+Loops: probe machine capacity against the best-ever baseline
+(.bench_cache/probe_best.json); when the host is in a healthy window
+(probe >= --floor of best), fire one back-to-back local[8]/local[32]
+pair of the full dedup pipeline and append the pair + probe readings to
+.bench_cache/scaling_pairs.jsonl.  Analysis (BENCH.md) takes the best
+pair whose BOTH runs sat in healthy windows.
+
+Rationale: this shared VM spends long phases at ~40% effective
+capacity, where local[32] thrashes while local[8] barely notices —
+any fixed-schedule protocol records garbage pairs.  Sampling only in
+healthy windows measures the code, not the neighbors.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from perf_scaling import (  # noqa: E402
+    PROBE_SNIPPET,
+    RUN_SNIPPET,
+    load_best_probe,
+    probe,
+    save_best_probe,
+)
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+FLOOR = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "0.85"))
+OUT = os.path.join(REPO, ".bench_cache", "scaling_pairs.jsonl")
+
+
+def one_run(cores: int, path: str) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO, cores=cores, path=path)
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="32g")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(out.stderr[-1000:])
+
+
+def main() -> None:
+    from destor_spark.synth import ensure_corpus
+
+    path, _ = ensure_corpus(os.path.join(REPO, ".bench_cache"), 42, N_DOCS)
+    best = load_best_probe()
+    while True:
+        p0 = probe()
+        if p0 > best:
+            best = p0
+            save_best_probe(p0)
+        frac = p0 / best if best else 0.0
+        if frac < FLOOR:
+            print(f"degraded ({frac:.2f}), sleeping 120s", flush=True)
+            time.sleep(120)
+            continue
+        pair = {"t": time.strftime("%H:%M:%S"), "probe0": round(frac, 3)}
+        r8 = one_run(8, path)
+        p1 = probe()
+        if p1 > best:
+            best = p1
+            save_best_probe(p1)
+        pair["wall_8"] = r8["wall"]
+        pair["probe_mid"] = round(p1 / best, 3)
+        r32 = one_run(32, path)
+        p2 = probe()
+        if p2 > best:
+            best = p2
+            save_best_probe(p2)
+        pair["wall_32"] = r32["wall"]
+        pair["probe_end"] = round(p2 / best, 3)
+        pair["n_docs"] = N_DOCS
+        pair["speedup"] = round(r8["wall"] / r32["wall"], 2)
+        pair["eff"] = round(r8["wall"] / r32["wall"] / 4.0, 3)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(pair) + "\n")
+        print(json.dumps(pair), flush=True)
+
+
+if __name__ == "__main__":
+    main()
