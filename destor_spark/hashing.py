@@ -147,6 +147,10 @@ def minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 # and the kernel goes memory-bandwidth-bound (measured 8->32-worker
 # speedup 1.2x at chunk 1024 vs 2.4x at chunk 256).
 _MH_CHUNK = 256
+# NOT thread-safe: one scratch buffer per process, shared by all
+# callers.  Safe under pyspark's process-per-worker UDF execution and
+# the single-threaded pandas oracle; a multi-threaded caller must make
+# this thread-local before sharing hashing.py as a kernel library.
 _MH_WS: dict[int, np.ndarray] = {}
 
 

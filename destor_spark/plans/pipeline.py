@@ -16,10 +16,11 @@ resumes from the last complete stage with lineage + metrics.
 from __future__ import annotations
 
 import atexit
+import itertools
 import os
 import shutil
 import tempfile
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -44,6 +45,15 @@ class PipelineResult:
     verified_pairs: DataFrame
     bucket_stats: DataFrame
     assignments: DataFrame
+    mat_root: str | None = field(default=None, repr=False)
+
+    def cleanup(self) -> None:
+        """Delete this run's stage-barrier parquet dirs.  Call once every
+        member DataFrame is fully consumed — they read from these files.
+        (Long-lived processes invoking run_pipeline repeatedly would
+        otherwise accumulate intermediates until interpreter exit.)"""
+        if self.mat_root:
+            shutil.rmtree(self.mat_root, ignore_errors=True)
 
 
 def _materialize(df: DataFrame, tag: str, root: str) -> DataFrame:
@@ -68,11 +78,23 @@ def _materialize(df: DataFrame, tag: str, root: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
-def _mat_root() -> str:
-    root = tempfile.mkdtemp(
-        prefix="destor_mat_", dir=os.environ.get("SPARK_GRAFT_MAT_DIR")
-    )
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+_SESSION_ROOTS: dict[str, str] = {}
+_RUN_IDS = itertools.count()
+
+
+def _mat_root(spark: SparkSession) -> str:
+    """Per-run barrier dir under ONE base dir per SparkSession (removed
+    at interpreter exit; individual runs via PipelineResult.cleanup())."""
+    app_id = spark.sparkContext.applicationId
+    base = _SESSION_ROOTS.get(app_id)
+    if base is None:
+        base = tempfile.mkdtemp(
+            prefix="destor_mat_", dir=os.environ.get("SPARK_GRAFT_MAT_DIR")
+        )
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _SESSION_ROOTS[app_id] = base
+    root = os.path.join(base, f"run{next(_RUN_IDS)}")
+    os.makedirs(root, exist_ok=True)
     return root
 
 
@@ -84,7 +106,11 @@ def signatures_stage(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     # table this is a no-op.
     spark = pages.sparkSession
     want = spark.sparkContext.defaultParallelism * 2
-    if keyed.rdd.getNumPartitions() < want:
+    # split-count check without the DataFrame->RDD conversion: a file
+    # source with >= want files already feeds every slot (and large
+    # files split further via maxPartitionBytes); non-file inputs
+    # (tests' createDataFrame) report no files and get spread.
+    if len(keyed.inputFiles()) < want:
         keyed = keyed.repartition(want)
     toks = shingles_op.with_token_hashes(keyed)
     return minhash_op.with_signatures(toks.drop("text"), cfg)
@@ -103,7 +129,7 @@ def run_pipeline(
     # destor's phases are hard barriers between queues
     # (/root/reference/src/do_backup.c:32-41); these are the same
     # barriers.
-    root = _mat_root()
+    root = _mat_root(pages.sparkSession)
 
     # Exact pass: exact_pairs self-joins its input, and the raw-text
     # scan + sha2 would run once PER JOIN SIDE — barrier the tiny
@@ -149,6 +175,7 @@ def run_pipeline(
         verified_pairs=verified,
         bucket_stats=bucket_stats,
         assignments=assignment,
+        mat_root=root,
     )
 
 

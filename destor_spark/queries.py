@@ -28,10 +28,34 @@ K = 5  # words per shingle (cfg.shingle_size analogue for the SQL-portable pass)
 NUM_MH = 16  # portable MinHash permutations (md5-based, SQL-expressible)
 MH_BANDS = 4
 MH_ROWS = 4
+# Document-frequency cap for the exact-similarity self-joins: a shingle
+# (or gram) present in f documents contributes f^2 rows to the equality
+# join, so one boilerplate string shared by millions of pages is a
+# scale-killer.  Shingles with df > DF_CAP are treated as boilerplate
+# and excluded from BOTH the intersection and the per-doc sizes —
+# i.e. similarity is defined over non-boilerplate features (destor's
+# capping rewrite bounds hot references the same way,
+# /root/reference/src/rewrite_phase/cap_rewrite.c:44-107).  The DuckDB
+# oracle applies the IDENTICAL predicate, so parity is exact.
+DF_CAP = 100
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _barrier(df: DataFrame, tag: str) -> DataFrame:
+    """Parquet stage barrier for reused array-heavy frames.
+
+    persist() of array<string>/array<bigint> columns goes through the
+    per-element generic columnar-cache encoders on build AND every read;
+    the parquet round-trip is ~2x faster both ways (measured, see
+    plans/pipeline._materialize).  Reuses the per-session materialize
+    root so repeated driver query invocations don't leak directories.
+    """
+    from destor_spark.plans.pipeline import _materialize, _mat_root
+
+    return _materialize(df, tag, _mat_root(df.sparkSession))
 
 
 def _tokens(text):
@@ -120,8 +144,18 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     destor similarity scoring = shared-feature counting,
     /root/reference/src/index/similarity_detection.c:85-98)."""
     sh = _shingled_docs(spark, sf_dir)
-    e = sh.select("doc_id", F.explode("sh").alias("s"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    e0 = sh.select("doc_id", F.explode("sh").alias("s"))
+    # df cap: drop boilerplate shingles (see DF_CAP).  hot is tiny ->
+    # broadcast anti-join; e0 is scanned once for the aggregate (map-side
+    # partial) and once for the join.
+    hot = (
+        e0.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("s")
+    )
+    e = e0.join(F.broadcast(hot), "s", "left_anti")
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         e.alias("a")
         .join(e.alias("b"), "s")
@@ -159,8 +193,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH d AS ({_SQL_SHINGLED}),
-e AS (SELECT doc_id, unnest(sh) AS s FROM d),
-sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+e0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > {DF_CAP}),
+e AS (SELECT doc_id, s FROM e0
+      WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.s = e0.s)),
+sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
           FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
@@ -190,7 +227,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).alias("mh"),
-    ).persist()  # consumed by banding + two signature joins
+    )
+    # consumed by banding + two signature joins: barrier so the
+    # 16x|shingles| md5 evaluations run once, not once per consumer
+    # (and never through the pathological array columnar cache).
+    mh = _barrier(mh, "q_minhash_mh")
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -316,7 +357,7 @@ def q_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("w")
     )
-    g = (
+    g0 = (
         d.filter(F.size("w") >= W)
         .select(
             "doc_id",
@@ -330,6 +371,15 @@ def q_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
+    # df cap on grams, same rationale + identical oracle predicate as
+    # q_ngram_jaccard_pairs (see DF_CAP).
+    hot = (
+        g0.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("gram")
+    )
+    g = g0.join(F.broadcast(hot), "gram", "left_anti")
     return (
         g.alias("a")
         .join(g.alias("b"), "gram")
@@ -341,13 +391,16 @@ def q_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SUBSTRING_SPAN_PAIRS = """
+SQL_SUBSTRING_SPAN_PAIRS = f"""
 WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
            FROM documents),
-g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
         range(1, greatest(len(w)-6,0)+1),
         i -> array_to_string(w[i:i+6],' ')))) AS gram
-      FROM t WHERE len(w) >= 7)
+      FROM t WHERE len(w) >= 7),
+hot AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > {DF_CAP}),
+g AS (SELECT doc_id, gram FROM g0
+      WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.gram = g0.gram))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_spans
 FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY 1, 2
@@ -383,8 +436,11 @@ def q_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOPK_SIMILAR_DOCS = f"""
 WITH d AS ({_SQL_SHINGLED}),
-e AS (SELECT doc_id, unnest(sh) AS s FROM d),
-sizes AS (SELECT doc_id, len(sh) AS n FROM d),
+e0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > {DF_CAP}),
+e AS (SELECT doc_id, s FROM e0
+      WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.s = e0.s)),
+sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
           FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
@@ -749,8 +805,11 @@ WITH marked AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
   SELECT user_id, event_id,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         -- CAST: DuckDB types this windowed sum HUGEINT (int128), which
+         -- pandas renders as float64 and the driver's value hash then
+         -- sees 1.0 vs Spark's BIGINT 1 (r1 CORRECTNESS fail).
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked)
 SELECT user_id, session_id, count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event

@@ -61,6 +61,14 @@ def build_session(
     java_opts = os.environ.get(
         "SPARK_GRAFT_JAVA_OPTS", f"-Xms{driver_mem} -XX:+UseParallelGC"
     )
+    # Executor opts built EXPLICITLY (GC flag only, no -Xms): deriving
+    # them by string-stripping the driver opts would forward any
+    # user-supplied -Xms form verbatim and could pin executor heaps
+    # above spark.executor.memory on a real cluster (Spark rejects -Xmx
+    # in extraJavaOptions but not -Xms).
+    executor_opts = os.environ.get(
+        "SPARK_GRAFT_EXECUTOR_JAVA_OPTS", "-XX:+UseParallelGC"
+    )
     b = (
         SparkSession.builder.appName(app)
         .master(master)
@@ -77,7 +85,7 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", driver_mem)
         .config("spark.driver.extraJavaOptions", java_opts)
-        .config("spark.executor.extraJavaOptions", java_opts.replace(f"-Xms{driver_mem} ", ""))
+        .config("spark.executor.extraJavaOptions", executor_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -233,8 +233,14 @@ def make_corpus(seed: int, n_docs: int) -> tuple[pd.DataFrame, pd.DataFrame]:
 def ensure_corpus(base_dir: str, seed: int, n_docs: int) -> tuple[str, str]:
     """Materialize (pages, truth) parquet under base_dir; cached by key."""
     os.makedirs(base_dir, exist_ok=True)
-    pages_path = os.path.join(base_dir, f"web_pages_s{seed}_n{n_docs}.parquet")
-    truth_path = os.path.join(base_dir, f"truth_s{seed}_n{n_docs}.parquet")
+    rg = max(2048, n_docs // 128)
+    # cache key includes the row-group layout: a change to the parquet
+    # geometry must invalidate cached corpora, or before/after benchmark
+    # comparisons silently run on the old physical layout.
+    pages_path = os.path.join(
+        base_dir, f"web_pages_s{seed}_n{n_docs}_rg{rg}.parquet"
+    )
+    truth_path = os.path.join(base_dir, f"truth_s{seed}_n{n_docs}_rg{rg}.parquet")
     if not (os.path.exists(pages_path) and os.path.exists(truth_path)):
         pages, truth = make_corpus(seed, n_docs)
         # Row groups keep the single file splittable across tasks (one
@@ -243,8 +249,8 @@ def ensure_corpus(base_dir: str, seed: int, n_docs: int) -> tuple[str, str]:
         # task parses the FULL footer, so the group count must stay
         # bounded: 2048-row groups at 1M docs meant a 488-group footer
         # parsed by ~250 tasks per scan, which made the first pipeline
-        # stage scale 30x for 10x data.  Cap at ~128 groups per file.
-        rg = max(2048, n_docs // 128)
+        # stage scale 30x for 10x data.  Cap at ~128 groups per file
+        # (rg computed above — part of the cache key).
         pages.to_parquet(pages_path, index=False, row_group_size=rg)
         truth.to_parquet(truth_path, index=False, row_group_size=rg)
     return pages_path, truth_path

@@ -23,7 +23,6 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 from perf_scaling import (  # noqa: E402
-    PROBE_SNIPPET,
     RUN_SNIPPET,
     load_best_probe,
     probe,

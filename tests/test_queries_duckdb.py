@@ -29,14 +29,27 @@ def ddb():
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Reproduce the DRIVER's value-hash normalization: sort columns by
+    name, stringify every value VERBATIM (no numeric coercion!), sort
+    rows.  In r1 an int64-coercing normalize here masked a real driver
+    mismatch: DuckDB typed a windowed sum HUGEINT -> pandas float64, so
+    the driver hashed '1.0' vs Spark's '1' while this test saw 1 == 1.
+    A float/int representation difference must FAIL locally."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif pd.api.types.is_bool_dtype(df[c]):
-            df[c] = df[c].astype(int)
-        elif pd.api.types.is_numeric_dtype(df[c]):
-            df[c] = pd.to_numeric(df[c]).astype("int64", errors="ignore")
+            df[c] = df[c].astype(bool).astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            # int WIDTH is unified (Spark IntegerType vs DuckDB BIGINT
+            # hashed equal in r1) ...
+            df[c] = df[c].astype("int64").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            # ... but float vs int is NOT: stringify floats as floats.
+            df[c] = df[c].map(repr)
+        else:
+            df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
