@@ -242,3 +242,72 @@ def to_signed(u: np.ndarray) -> np.ndarray:
 def to_unsigned(s: np.ndarray) -> np.ndarray:
     return np.asarray(s, dtype=np.int64).view(np.uint64)
 
+
+
+# ---------------------------------------------------------------------------
+# exact common-substring check (substring-pass verification kernel)
+# ---------------------------------------------------------------------------
+
+_RH_MOD = (1 << 61) - 1  # Mersenne prime: fast mod, negligible collisions
+_RH_BASE = 257
+
+
+def _k_substring_hashes(s: str, k: int):
+    """Yield (rolling_hash, start) for every k-substring of s, O(len(s))."""
+    h = 0
+    for c in s[:k]:
+        h = (h * _RH_BASE + ord(c)) % _RH_MOD
+    yield h, 0
+    pw = pow(_RH_BASE, k - 1, _RH_MOD)
+    for i in range(1, len(s) - k + 1):
+        h = ((h - ord(s[i - 1]) * pw) * _RH_BASE + ord(s[i + k - 1])) % _RH_MOD
+        yield h, i
+
+
+def has_common_substring(a: str, b: str, k: int) -> bool:
+    """EXACT test: do a and b share a contiguous substring of length >= k?
+
+    Rolling 61-bit polynomial hash buckets the k-substrings of a
+    (O(|a|)), then every k-substring of b probes the table (O(|b|));
+    hash hits are confirmed by direct slice comparison, so a collision
+    can cost a wasted compare but never a wrong answer.  This is the
+    verification step of the substring dup modality: anchored-gram
+    candidates (operators/substring.py) prove only >= gram_len shared
+    chars; this proves the configured L exactly (destor's dedup is
+    byte-exact per chunk, /root/reference/src/hash_phase.c:25-28 -- a
+    claimed span must actually match).
+    """
+    if k <= 0:
+        return True
+    if len(a) < k or len(b) < k:
+        return False
+    if len(b) < len(a):  # build the table on the shorter side
+        a, b = b, a
+    table: dict[int, list[int]] = {}
+    for h, i in _k_substring_hashes(a, k):
+        table.setdefault(h, []).append(i)
+    for h, j in _k_substring_hashes(b, k):
+        starts = table.get(h)
+        if starts:
+            bj = b[j : j + k]
+            for i in starts:
+                if a[i : i + k] == bj:
+                    return True
+    return False
+
+
+def longest_common_substring_len(a: str, b: str) -> int:
+    """Length of the longest common contiguous substring (exact).
+
+    Binary search over has_common_substring (a length-k common substring
+    implies one of every shorter length, so the predicate is monotone).
+    O((|a|+|b|) log min(|a|,|b|)).
+    """
+    lo, hi = 0, min(len(a), len(b))
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if has_common_substring(a, b, mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo

@@ -16,9 +16,13 @@ Spark design — seed-and-extend with content-defined anchor sampling:
   * A shared span of length >= L contains at least one common anchored
     L'-gram with overwhelming probability (expected anchor gap =
     stride chars; L' = L - stride leaves room for gap slack).
-  * Equality join on the anchored gram hash -> candidate pairs;
-    verification is exact: join back both texts and require a true
-    common substring >= L (done via the gram itself being length L').
+  * Equality join on the anchored gram hash -> CANDIDATE pairs.  A
+    shared L'-gram proves only >= L' shared chars (L' < L), so
+    candidates sharing L'..L-1 chars are false positives at this point.
+  * VERIFICATION is exact: join back both texts and require a true
+    common contiguous substring >= L (hashing.has_common_substring —
+    rolling-hash probe confirmed by direct slice comparison).  The
+    pandas oracle applies the identical kernel, so parity is exact.
 
 All JVM built-ins (transform/sequence/substring/xxhash64) — the gram
 relation never leaves the executor JVM.  The pandas oracle mirrors the
@@ -81,9 +85,66 @@ def anchored_grams(
     )
 
 
-def substring_pairs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Pairs of docs sharing an anchored exact gram (>= gram_len chars)."""
+def candidate_substring_pairs(
+    pages: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """UNVERIFIED candidates: docs sharing an anchored exact gram
+    (>= gram_len chars — which is < L; see substring_pairs)."""
     from destor_spark.operators.lsh import bucket_pairs
 
     pairs, _stats = bucket_pairs(anchored_grams(pages, cfg), cfg)
     return pairs
+
+
+def _verify_udf(min_len: int):
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def has_span(ta, tb):
+        import pandas as pd
+
+        from destor_spark.hashing import has_common_substring
+
+        return pd.Series(
+            [
+                has_common_substring(x or "", y or "", min_len)
+                for x, y in zip(ta, tb)
+            ]
+        )
+
+    return has_span
+
+
+def substring_pairs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """VERIFIED pairs: true shared contiguous span >= cfg.substring_len.
+
+    Candidates come from the anchored-gram join; each candidate pair
+    then re-joins both texts and an Arrow-batched kernel confirms an
+    exact common substring of the full configured length L (a shared
+    anchored gram alone only proves ~L-2*stride chars).  Candidate
+    volume is bounded by the cap/star rule, so the text re-join touches
+    few rows; the texts themselves never shuffle for non-candidates
+    (join keys prune them).
+    """
+    texts = pages.select("url", "text")
+    cand = candidate_substring_pairs(pages, cfg)
+    joined = (
+        cand.join(
+            texts.select(
+                F.col("url").alias("url_a"), F.col("text").alias("text_a")
+            ),
+            "url_a",
+        )
+        .join(
+            texts.select(
+                F.col("url").alias("url_b"), F.col("text").alias("text_b")
+            ),
+            "url_b",
+        )
+    )
+    ok = _verify_udf(cfg.substring_len)
+    return (
+        joined.filter(ok(F.col("text_a"), F.col("text_b")))
+        .select("url_a", "url_b")
+    )

@@ -202,7 +202,19 @@ def run_oracle(
                     if g not in seen:
                         seen.add(g)
                         gbuckets[(20_000, g)].append(u)
-        substring_pairs = _bucket_pairs(gbuckets, docs, cfg.bucket_cap)
+        # verification: the shared anchored gram proves ~L-2*stride
+        # chars; require a true span >= L with the SAME kernel the
+        # Spark verify UDF calls (operators/substring.substring_pairs).
+        text_by_url = dict(zip(urls, texts))
+        substring_pairs = {
+            (ua, ub)
+            for ua, ub in _bucket_pairs(gbuckets, docs, cfg.bucket_cap)
+            if H.has_common_substring(
+                text_by_url[ua] or "",
+                text_by_url[ub] or "",
+                cfg.substring_len,
+            )
+        }
 
     # --- union-find + assignments ---
     dsu = _DSU()

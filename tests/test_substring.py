@@ -1,0 +1,146 @@
+"""Substring-pass verification gate: a candidate pair sharing MORE than
+a gram but LESS than the configured L chars must be rejected.
+
+The anchored-gram candidate join proves only >= gram_len shared chars
+(gram_len = L - 2*stride = 136 for L=200); before r2 a pair sharing
+136..199 chars was wrongly reported as an L-dup.  These tests pin the
+exact verification kernel and the operator-level accept/reject rule.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pytest
+
+from destor_spark import hashing as H
+from destor_spark.config import DedupConfig
+from destor_spark.operators.substring import (
+    ANCHOR_W,
+    DEF_STRIDE,
+    _gram_len,
+    candidate_substring_pairs,
+    substring_pairs,
+)
+
+CFG = DedupConfig()  # substring_len = 200
+GLEN = _gram_len(CFG)  # 136
+
+_ALPHABET = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+
+def _rand_str(rng: np.random.Generator, n: int) -> str:
+    return "".join(rng.choice(_ALPHABET, size=n))
+
+
+def _span_with_anchor(seed: int, span_len: int) -> str:
+    """Deterministic span of span_len chars that PROVABLY contains an
+    anchored gram fully inside it (so the candidate join must fire for
+    any two docs embedding this span, wherever it is embedded)."""
+    rng = np.random.default_rng(seed)
+    while True:
+        span = _rand_str(rng, span_len)
+        for i in range(span_len - GLEN + 1):
+            if H.xxh64_str(span[i : i + ANCHOR_W]) % DEF_STRIDE == 0:
+                return span
+
+
+def test_kernel_exactness():
+    assert H.has_common_substring("abcdef", "xxcdexx", 3)
+    assert not H.has_common_substring("abcdef", "xxcdexx", 4)
+    assert H.longest_common_substring_len("abcdef", "xxcdexx") == 3
+    assert H.longest_common_substring_len("", "abc") == 0
+    assert not H.has_common_substring("", "", 1)
+    assert H.has_common_substring("same", "same", 4)
+    # repeated content: many hash-table hits, still exact
+    a = "ab" * 300
+    b = "ba" * 300
+    assert H.longest_common_substring_len(a, b) == 599
+
+
+def test_kernel_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        a = _rand_str(rng, int(rng.integers(0, 40)))
+        b = _rand_str(rng, int(rng.integers(0, 40)))
+        brute = 0
+        for i in range(len(a)):
+            for j in range(i + 1, len(a) + 1):
+                if a[i:j] in b:
+                    brute = max(brute, j - i)
+        assert H.longest_common_substring_len(a, b) == brute, (a, b)
+
+
+@pytest.fixture(scope="module")
+def span_fixture(spark):
+    span_short = _span_with_anchor(7, 150)   # candidate, NOT an L-dup
+    span_long = _span_with_anchor(11, 250)   # true L-dup
+    rng = np.random.default_rng(9)
+    ts = datetime.datetime(2024, 1, 1)
+
+    def doc(mid: str) -> str:
+        return _rand_str(rng, 300) + mid + _rand_str(rng, 300)
+
+    rows = [
+        ("s1", ts, doc(span_short)),
+        ("s2", ts, doc(span_short)),
+        ("l1", ts, doc(span_long)),
+        ("l2", ts, doc(span_long)),
+        ("u1", ts, doc(_rand_str(rng, 200))),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    )
+    cand = {
+        frozenset(r) for r in candidate_substring_pairs(pages, CFG).collect()
+    }
+    ver = {frozenset(r) for r in substring_pairs(pages, CFG).collect()}
+    return cand, ver
+
+
+def test_short_span_is_candidate_but_rejected(span_fixture):
+    cand, ver = span_fixture
+    # the 150-char shared span contains an anchored gram -> candidate...
+    assert frozenset(("s1", "s2")) in cand
+    # ...but the true span is 150 < L=200: verification MUST reject it
+    assert frozenset(("s1", "s2")) not in ver
+
+
+def test_long_span_survives_verification(span_fixture):
+    cand, ver = span_fixture
+    assert frozenset(("l1", "l2")) in cand
+    assert frozenset(("l1", "l2")) in ver
+
+
+def test_no_spurious_pairs(span_fixture):
+    _, ver = span_fixture
+    assert ver == {frozenset(("l1", "l2"))}
+
+
+def test_oracle_applies_same_verification():
+    """The pandas oracle must reject the same short-span pair."""
+    import pandas as pd
+
+    from destor_spark.oracle import run_oracle
+
+    span_short = _span_with_anchor(7, 150)
+    span_long = _span_with_anchor(11, 250)
+    rng = np.random.default_rng(9)
+    ts = datetime.datetime(2024, 1, 1)
+
+    def doc(mid: str) -> str:
+        return _rand_str(rng, 300) + mid + _rand_str(rng, 300)
+
+    pages = pd.DataFrame(
+        {
+            "url": ["s1", "s2", "l1", "l2"],
+            "warc_ts": [ts] * 4,
+            "text": [doc(span_short), doc(span_short),
+                     doc(span_long), doc(span_long)],
+        }
+    )
+    o = run_oracle(pages, CFG, use_simhash=False, use_substring=True)
+    sub = o["dup_pairs"][o["dup_pairs"]["modality"] == "substring"]
+    got = {frozenset((a, b)) for a, b in zip(sub["url_a"], sub["url_b"])}
+    assert got == {frozenset(("l1", "l2"))}
