@@ -92,24 +92,69 @@ def brute_force_topk(
     )
 
 
-def srp_sketch_udf(dim: int, bits: int = 16, seed: int = 42):
-    """Signed-random-projection sketch: bits sign bits -> int bucket."""
+def srp_sketch_udf(
+    dim: int, bits: int = 16, bands: int = 8, n_probes: int = 1, seed: int = 42
+):
+    """Signed-random-projection band sketches with low-margin multi-probe.
+
+    Returns a pandas UDF mapping an embedding to array<array<long>>:
+    one entry per band; within a band, n_probes bucket keys — the base
+    bucket (all sign bits) first, then variants with the 1st, 2nd, ...
+    LOWEST-|margin| bit flipped.  A low-margin bit is one whose
+    hyperplane nearly contains the vector, i.e. the bit most likely to
+    differ for a true near neighbor — flipping those is the standard
+    multi-probe recall lever (probing ~n_probes buckets per band
+    instead of duplicating the corpus into more bands).
+
+    Bands are an OR-construction exactly like MinHash LSH banding:
+    candidate = shares ANY band bucket.  P(candidate) = 1-(1-p^bits)^bands
+    with p = 1 - angle/pi.  The planes are seeded per band, so band b
+    is the same hash family on every call (oracle-parity friendly).
+    """
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import ArrayType, LongType
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((bits, dim))
+    planes = [
+        np.random.default_rng(seed + 1000 * b).standard_normal((bits, dim))
+        for b in range(bands)
+    ]
+    weights = (1 << np.arange(bits, dtype=np.int64))[None, :]
 
-    @pandas_udf(LongType())
+    @pandas_udf(ArrayType(ArrayType(LongType())))
     def sketch(vecs: pd.Series) -> pd.Series:
         mat = np.asarray(vecs.tolist(), dtype=np.float64)
-        signs = (mat @ planes.T) > 0
-        out = np.zeros(len(vecs), dtype=np.int64)
-        for i in range(bits):
-            out |= signs[:, i].astype(np.int64) << i
+        n = mat.shape[0]
+        out: list[list[list[int]]] = [[] for _ in range(n)]
+        for pl in planes:
+            proj = mat @ pl.T                     # (n, bits)
+            base = ((proj > 0) * weights).sum(axis=1)
+            probes = [base]
+            if n_probes > 1:
+                order = np.argsort(np.abs(proj), axis=1)
+                for j in range(min(n_probes - 1, bits)):
+                    probes.append(base ^ (1 << order[:, j]).astype(np.int64))
+            cols = np.stack(probes, axis=1)       # (n, n_probes)
+            for i in range(n):
+                out[i].append(cols[i].tolist())
         return pd.Series(out)
 
     return sketch
+
+
+def _band_buckets(
+    df: DataFrame, id_alias: str, sketch, n_probes: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id, band, key) membership relation from the sketch UDF."""
+    b = df.select(
+        F.col(id_col).alias(id_alias),
+        F.posexplode(sketch(F.col(vec_col))).alias("band", "probes"),
+    )
+    if n_probes > 1:
+        return b.select(id_alias, "band", F.explode("probes").alias("key"))
+    return b.select(
+        id_alias, "band", F.element_at("probes", 1).alias("key")
+    )
 
 
 def srp_topk(
@@ -117,30 +162,46 @@ def srp_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    bits: int = 12,
+    bits: int = 6,
+    bands: int = 24,
+    n_probes: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Bucketed ANN: SRP-bucket equality join, exact cosine re-rank.
+    """Bucketed ANN: banded SRP candidate join, exact cosine re-rank.
 
-    Recall < 1 by design (same-bucket requirement); multi-probe
-    (flipping low-margin bits) is the documented recall lever.
+    Scale shape: the corpus is sketched once into bands x (id, key)
+    rows (no vector duplication), queries probe n_probes buckets per
+    band, the equality join yields candidates, and only candidates pay
+    the exact-cosine re-rank.  Recall < 1 by design; measured
+    recall@10 vs brute_force_topk is tracked in RECALL.md and gated by
+    tests/test_ann_recall.py.  destor analogue: sketch-first top-k
+    (/root/reference/src/index/similarity_detection.c:49-126).
     """
-    sk = srp_sketch_udf(dim, bits)
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-        sk(F.col(vec_col)).alias("bucket"),
+    sk_probe = srp_sketch_udf(dim, bits, bands, n_probes)
+    sk_base = srp_sketch_udf(dim, bits, bands, 1)
+    cb = _band_buckets(emb, "neighbor_id", sk_base, 1, id_col, vec_col)
+    qb = _band_buckets(
+        queries, "query_id", sk_probe, n_probes, id_col, vec_col
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-        sk(F.col(vec_col)).alias("bucket"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
     scored = (
-        F.broadcast(q)
-        .join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -156,4 +217,62 @@ def srp_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "msim")
+    )
+
+
+def srp_near_dup_pairs(
+    emb: DataFrame,
+    threshold_micro: int = 990_000,
+    bits: int = 16,
+    bands: int = 8,
+    bucket_cap: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs, the SCALE path: banded SRP
+    buckets -> cap/star candidate pair generation (the SAME skew
+    machinery as the MinHash LSH pass) -> exact-cosine verification.
+
+    At cosine >= 0.99 (angle ~8 deg) a 16-bit band matches with
+    p ~ 0.974^16 ~ 0.66, so 8 bands give pair recall ~1-(1-0.66)^8
+    > 0.9998 while non-dups spread over 2^16 buckets per band.  The
+    brute-force crossJoin (queries.q_embedding_near_dup_pairs) is this
+    operator's small-sf oracle: identical output schema + threshold,
+    verified in tests/test_ann_recall.py.
+    """
+    from destor_spark.config import DedupConfig
+    from destor_spark.operators.lsh import bucket_pairs
+
+    dim = len(emb.select(vec_col).first()[0])
+    sk = srp_sketch_udf(dim, bits, bands, 1)
+    ex = emb.select(
+        F.col(id_col).alias("url"),
+        F.col(id_col).alias("warc_ts"),  # deterministic pair ordering
+        F.posexplode(sk(F.col(vec_col))).alias("band", "probes"),
+    ).select(
+        "url", "warc_ts", "band", F.element_at("probes", 1).alias("key")
+    )
+    cfg = DedupConfig(bucket_cap=bucket_cap)
+    cand, _stats = bucket_pairs(ex, cfg)
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    return (
+        cand.select(
+            F.least("url_a", "url_b").alias("vec_a"),
+            F.greatest("url_a", "url_b").alias("vec_b"),
+        )
+        .join(v.select(F.col("vid").alias("vec_a"), F.col("v").alias("va")),
+              "vec_a")
+        .join(v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb")),
+              "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")) * 1_000_000)
+            .cast("bigint")
+            .alias("msim"),
+        )
+        .filter(F.col("msim") >= threshold_micro)
     )

@@ -949,12 +949,26 @@ def q_dedup_pipeline_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-bucketed ANN (scale path; recall<1 by design => rows-only)."""
+    """SRP-bucketed ANN (scale path; recall<1 by design => rows-only;
+    recall measured vs brute force in tests/test_ann_recall.py +
+    RECALL.md)."""
     from destor_spark.operators.ann import srp_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return srp_topk(emb, queries, dim=64, k=10, bits=8)
+    return srp_topk(emb, queries, dim=64, k=10)
+
+
+def q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded SRP buckets + cap/star pair
+    generation + exact-cosine verify — the scale path whose small-sf
+    oracle is the brute-force q_embedding_near_dup_pairs (rows-only
+    driver check; set-parity vs brute force gated in
+    tests/test_ann_recall.py)."""
+    from destor_spark.operators.ann import srp_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_near_dup_pairs(emb, threshold_micro=990_000)
 
 
 # ---------------------------------------------------------------------------
@@ -985,6 +999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_quantiles": q_value_quantiles,
     "dedup_pipeline_assignments": q_dedup_pipeline_assignments,
     "srp_ann_topk": q_srp_ann_topk,
+    "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -1,0 +1,93 @@
+"""ANN recall gates: the SRP-bucketed paths measured against brute
+force (RECALL.md records the numbers; these tests keep them honest).
+
+destor analogue: similarity detection is *evaluated* by top-k hit
+counting (/root/reference/src/index/similarity_detection.c:85-123) —
+an approximate index without a measured recall is not shippable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from destor_spark.operators.ann import (
+    brute_force_topk,
+    srp_near_dup_pairs,
+    srp_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _recall_at_10(bf, sp) -> float:
+    truth = bf.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    got = sp.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    recs = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    return float(np.mean(recs))
+
+
+def test_srp_topk_recall_vs_brute_force(spark):
+    """Default SRP config (bits=6, bands=24, n_probes=7) must reach
+    recall@10 >= 0.95 on the driver's embeddings table.  Measured
+    1.000 at sf0.001 and sf0.1 (RECALL.md) — this corpus is
+    near-uniform random (rank-1 cosine ~0.33-0.39), LSH's hardest
+    regime, hence the probe-heavy default."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    bf = brute_force_topk(emb, qs, k=10).toPandas()
+    sp = srp_topk(emb, qs, dim=64, k=10).toPandas()
+    assert _recall_at_10(bf, sp) >= 0.95
+
+
+def _planted_corpus(spark, n_base: int = 300, twin_every: int = 10):
+    """Base vectors + a >=0.99-cosine twin every twin_every rows."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((n_base, 64)).astype(np.float32)
+    rows, vid = [], 0
+    for i in range(n_base):
+        rows.append((vid, base[i].tolist()))
+        vid += 1
+        if i % twin_every == 0:
+            twin = base[i] + 0.02 * rng.standard_normal(64).astype(
+                np.float32
+            )
+            rows.append((vid, twin.tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    brute = {
+        (rows[a][0], rows[b][0])
+        for a in range(len(rows))
+        for b in range(a + 1, len(rows))
+        if round(sims[a, b] * 1e6) >= 990_000
+    }
+    return df, brute
+
+
+def test_srp_near_dup_pairs_match_brute_force(spark):
+    """The bucketed near-dup path must find EXACTLY the brute-force
+    pair set on a corpus with planted >=0.99-cosine twins (recall via
+    the 8x16-bit band OR-construction, precision via the exact-cosine
+    verify)."""
+    df, brute = _planted_corpus(spark)
+    assert brute, "fixture must plant near-dup pairs"
+    got = {(r.vec_a, r.vec_b) for r in srp_near_dup_pairs(df).collect()}
+    assert got == brute
+
+
+def test_bucketed_matches_bruteforce_on_driver_table(spark):
+    """Driver-table consistency: the bucketed near-dup query returns
+    the same pair set as its brute-force oracle twin at sf0.001."""
+    import destor_spark.queries as Q
+
+    bf = Q.q_embedding_near_dup_pairs(spark, SF_DIR).toPandas()
+    bk = Q.q_embedding_near_dup_bucketed(spark, SF_DIR).toPandas()
+    assert set(map(tuple, bf[["vec_a", "vec_b"]].values.tolist())) == set(
+        map(tuple, bk[["vec_a", "vec_b"]].values.tolist())
+    )
