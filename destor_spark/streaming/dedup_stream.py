@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from destor_spark.config import DedupConfig
@@ -64,12 +64,41 @@ def run_incremental_dedup(
     in_dir: str,
     state_dir: str,
     cfg: DedupConfig,
+    value_len: int = 64,
+    n_key_buckets: int = 64,
+    n_url_buckets: int = 64,
 ) -> None:
-    """foreachBatch incremental LSH dedup: each micro-batch's signatures
-    are banded, joined against the accumulated signature store, and new
-    verified pairs appended.  availableNow trigger => terminates when
-    the input backlog is drained (test-friendly, also the production
-    catch-up mode)."""
+    """foreachBatch incremental LSH dedup with a BOUNDED, PRUNED store.
+
+    Store layout (the destor kv index, restated for files):
+
+      * band_store/ — the exploded (url, warc_ts, bid, band, key)
+        membership relation, hash-partitioned on kb = pmod(key,
+        n_key_buckets).  A micro-batch only READS the kb partitions its
+        own keys land in (partition pruning — asserted in
+        tests/test_streaming.py) and only REWRITES those partitions
+        (dynamic partition overwrite), so per-batch IO is bounded by
+        the batch's bucket footprint, not the corpus.
+      * FIFO newest-k retention: each (band, key) keeps only the
+        value_len most recent members by arrival (batch id, then
+        warc_ts, url) — exactly destor's index_value_length FIFO rule
+        (/root/reference/src/index/kvstore_htable.c:44-53, "value[0]
+        keeps the latest ID").  Retention is applied on the touched
+        partitions at every rewrite, so the physical store is bounded
+        too.  Consequence (destor-identical): a document evicted from
+        a bucket cannot match FUTURE arrivals through that bucket.
+      * signatures/ — (url, warc_ts, sig, ...) partitioned on
+        ub = pmod(xxhash64(url), n_url_buckets); verification reads
+        only the ub partitions of the candidate pairs' urls.
+
+    Emitted pairs are restricted to those involving at least one url
+    from the current batch (old-old pairs were emitted when first
+    seen), so the pair store grows with new data only.  availableNow
+    trigger => terminates when the backlog drains.
+    """
+    from destor_spark.plans.pipeline import _materialize, _mat_root
+
+    band_store = os.path.join(state_dir, "band_store")
     sig_store = os.path.join(state_dir, "signatures")
     pair_store = os.path.join(state_dir, "pairs")
     ckpt = os.path.join(state_dir, "_checkpoint")
@@ -80,22 +109,110 @@ def run_incremental_dedup(
         .parquet(in_dir)
     )
 
+    band_cols = ["url", "warc_ts", "bid", "band", "key"]
+
     def _process(batch: DataFrame, batch_id: int) -> None:
-        sigs = signatures_stage(batch, cfg)
-        if os.path.exists(sig_store):
-            store = spark.read.parquet(sig_store)
-            both = sigs.unionByName(store)
-        else:
-            both = sigs
-        # candidates limited to buckets touched by this batch
-        new_bands = lsh_op.explode_bands(sigs).select("band", "key").distinct()
-        touched = lsh_op.explode_bands(both).join(
-            F.broadcast(new_bands), ["band", "key"], "left_semi"
+        root = _mat_root(spark)
+        sigs = _materialize(
+            signatures_stage(batch, cfg), f"b{batch_id}_sigs", root
         )
-        pairs, _ = lsh_op.bucket_pairs(touched, cfg)
-        verified = verify_op.verify_pairs(pairs, both, cfg)
+        new_bands = lsh_op.explode_bands(sigs).select(
+            "url",
+            "warc_ts",
+            F.lit(batch_id).alias("bid"),
+            "band",
+            "key",
+            F.pmod("key", F.lit(n_key_buckets)).alias("kb"),
+        )
+        touched_kbs = [
+            r["kb"] for r in new_bands.select("kb").distinct().collect()
+        ]
+
+        if os.path.exists(band_store):
+            old = spark.read.parquet(band_store).filter(
+                F.col("kb").isin(touched_kbs)
+            )
+            merged = old.select(*band_cols, "kb").unionByName(new_bands)
+        else:
+            merged = new_bands
+
+        # FIFO newest-k per (band, key): arrival order = (bid, warc_ts, url)
+        w = Window.partitionBy("band", "key").orderBy(
+            F.desc("bid"), F.desc("warc_ts"), F.desc("url")
+        )
+        retained = _materialize(  # barrier: store is read AND rewritten
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= value_len)
+            .drop("rn"),
+            f"b{batch_id}_retained",
+            root,
+        )
+        (
+            retained.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kb")
+            .parquet(band_store)
+        )
+
+        # candidates: only buckets this batch touched, only retained members
+        new_keys = new_bands.select("band", "key").distinct()
+        members = retained.join(
+            F.broadcast(new_keys), ["band", "key"], "left_semi"
+        ).select("url", "warc_ts", "band", "key")
+        pairs, _stats = lsh_op.bucket_pairs(members, cfg)
+        new_urls = sigs.select("url")
+        pairs = _materialize(
+            pairs.join(
+                F.broadcast(new_urls.withColumnRenamed("url", "url_a")),
+                "url_a",
+                "left_semi",
+            )
+            .unionByName(
+                pairs.join(
+                    F.broadcast(
+                        new_urls.withColumnRenamed("url", "url_b")
+                    ),
+                    "url_b",
+                    "left_semi",
+                )
+            )
+            .distinct(),
+            f"b{batch_id}_pairs",
+            root,
+        )
+
+        # verification: read only the url-hash partitions the pairs touch
+        urls_needed = (
+            pairs.select(F.col("url_a").alias("url"))
+            .unionByName(pairs.select(F.col("url_b").alias("url")))
+            .distinct()
+        )
+        ubs = [
+            r["ub"]
+            for r in urls_needed.select(
+                F.pmod(F.xxhash64("url"), F.lit(n_url_buckets)).alias("ub")
+            )
+            .distinct()
+            .collect()
+        ]
+        all_sigs = sigs
+        if os.path.exists(sig_store) and ubs:
+            old_sigs = (
+                spark.read.parquet(sig_store)
+                .filter(F.col("ub").isin(ubs))
+                .drop("ub")
+            )
+            all_sigs = sigs.unionByName(old_sigs)
+        verified = verify_op.verify_pairs(pairs, all_sigs, cfg)
         verified.write.mode("append").parquet(pair_store)
-        sigs.write.mode("append").parquet(sig_store)
+        (
+            sigs.withColumn(
+                "ub", F.pmod(F.xxhash64("url"), F.lit(n_url_buckets))
+            )
+            .write.mode("append")
+            .partitionBy("ub")
+            .parquet(sig_store)
+        )
 
     q = (
         src.writeStream.foreachBatch(_process)

@@ -46,6 +46,98 @@ def test_incremental_dedup_across_batches(spark, cfg, tmp_path):
         assert got & want_any, f"cross-batch dup not detected for group {g}"
 
 
+def test_fifo_retention_bounds_store(spark, cfg, tmp_path):
+    """J4: each (band, key) keeps only the value_len NEWEST members
+    (destor index_value_length FIFO,
+    /root/reference/src/index/kvstore_htable.c:44-53)."""
+    in_dir = str(tmp_path / "in_fifo")
+    state = str(tmp_path / "state_fifo")
+    os.makedirs(in_dir)
+    # k+3 exact copies of one text arriving over two batches: every
+    # band bucket of that text accumulates k+3 members without a bound
+    k = 4
+    base_ts = pd.Timestamp("2024-01-01")
+    rows = [
+        {
+            "url": f"u{i:02d}",
+            "warc_ts": base_ts + pd.Timedelta(seconds=i),
+            "html": b"",
+            "text": "the same exact duplicated text body " * 20,
+            "lang": "en",
+        }
+        for i in range(k + 3)
+    ]
+    df = pd.DataFrame(rows)
+    df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+    df.iloc[:4].to_parquet(os.path.join(in_dir, "b1.parquet"), index=False)
+    from destor_spark.streaming.dedup_stream import run_incremental_dedup
+
+    run_incremental_dedup(spark, in_dir, state, cfg, value_len=k)
+    df.iloc[4:].to_parquet(os.path.join(in_dir, "b2.parquet"), index=False)
+    run_incremental_dedup(spark, in_dir, state, cfg, value_len=k)
+
+    store = pd.read_parquet(os.path.join(state, "band_store"))
+    per_bucket = store.groupby(["band", "key"]).size()
+    assert per_bucket.max() <= k, per_bucket.max()
+    # the SURVIVORS are the newest arrivals (u06 is the latest)
+    survivors = set(store[store["band"] == 0]["url"])
+    assert "u06" in survivors and "u00" not in survivors
+
+
+def test_store_scan_is_pruned(spark, cfg, tmp_path):
+    """Per-batch scan bytes stay bounded as the store grows: a batch
+    reads only the kb partitions its own keys touch (partition
+    pruning), never the whole band store."""
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in_prune")
+    state = str(tmp_path / "state_prune")
+    os.makedirs(in_dir)
+    pages, _ = make_corpus(seed=29, n_docs=400)
+    pages.iloc[:380].to_parquet(
+        os.path.join(in_dir, "big.parquet"), index=False
+    )
+    from destor_spark.streaming.dedup_stream import run_incremental_dedup
+
+    run_incremental_dedup(spark, in_dir, state, cfg)
+    # tiny second batch: touches few key buckets
+    pages.iloc[380:382].to_parquet(
+        os.path.join(in_dir, "tiny.parquet"), index=False
+    )
+    run_incremental_dedup(spark, in_dir, state, cfg)
+
+    band_store = os.path.join(state, "band_store")
+    store = spark.read.parquet(band_store)
+    total_files = len(store.inputFiles())
+    # replicate the batch's pruned read: kb partitions of 5 docs' keys
+    from destor_spark.operators import lsh as lsh_op
+    from destor_spark.plans.pipeline import signatures_stage
+
+    tiny = spark.createDataFrame(pages.iloc[380:382])
+    sigs = signatures_stage(tiny, cfg)
+    kbs = [
+        r["kb"]
+        for r in lsh_op.explode_bands(sigs)
+        .select(F.pmod("key", F.lit(64)).alias("kb"))
+        .distinct()
+        .collect()
+    ]
+    pruned = store.filter(F.col("kb").isin(kbs))
+    # (a) kb is a PARTITION filter in the physical plan (directory-level
+    # pruning, no file of an untouched kb is even opened) ...
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "kb" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # ... and (b) the files actually contributing rows are a strict
+    # subset of the store (inputFiles() ignores filters, so count the
+    # files the pruned scan really touches).
+    files_read = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert 0 < files_read < total_files, (files_read, total_files)
+
+
 def test_stream_exact_dedup_watermark(spark, tmp_path):
     """Watermarked streaming exact dedup: duplicates within the
     watermark horizon are dropped (destor's bounded fingerprint cache,
