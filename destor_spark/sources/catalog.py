@@ -23,11 +23,116 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime jar is actually on the classpath.
+
+    NOTE: `spark._jvm.org.apache.iceberg.Schema` alone is NOT a check —
+    py4j resolves attribute chains lazily and returns a JavaPackage for
+    any missing class, so it never raises.  Class.forName does."""
     try:
-        spark._jvm.org.apache.iceberg.Schema  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.Schema"
+        )
         return True
     except Exception:
         return False
+
+
+class IcebergCatalog:
+    """Iceberg-backed implementation of the same table interface.
+
+    Real call sites for the cluster path (this sandbox has no Iceberg
+    jars, so these are exercised by tests/test_catalog.py's stubbed
+    routing test and skip-marked against a live catalog):
+
+      * writes through the DataFrameWriterV2 API (`writeTo`), which
+        routes the Spark catalog plugin (`spark.sql.catalog.<name> =
+        org.apache.iceberg.spark.SparkCatalog`) — snapshots per write,
+        so resume/time-travel come for free (destor's recipe store
+        keeps per-backup versions the same way,
+        /root/reference/src/recipe/recipestore.c:285-400);
+      * `DELETE FROM ... WHERE` — a metadata/positional delete, not a
+        full-table rewrite (destor manifest truncation + index purge,
+        /root/reference/src/cma.c:83-139);
+      * `CALL <catalog>.system.expire_snapshots` — GC of unreachable
+        data files (destor's container GC after deletion).
+
+    Setup on a real cluster (see README):
+      spark.sql.catalog.dedup=org.apache.iceberg.spark.SparkCatalog
+      spark.sql.catalog.dedup.type=hadoop   (or hive/rest)
+      spark.sql.catalog.dedup.warehouse=<shared path>
+    """
+
+    def __init__(
+        self, spark: SparkSession, catalog: str, namespace: str = "dedup"
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}"
+        )
+
+    def _fq(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def write_table(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        w = df.writeTo(self._fq(name))
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append" and self.exists(name):
+            w.append()
+        else:
+            w.createOrReplace()
+
+    def read_table(self, name: str) -> DataFrame:
+        return self.spark.table(self._fq(name))
+
+    def read_table_at(self, name: str, snapshot_id: int) -> DataFrame:
+        """Time travel: read a historical snapshot (resume/audit)."""
+        return self.spark.read.option("snapshot-id", snapshot_id).table(
+            self._fq(name)
+        )
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._fq(name))
+
+    def delete_where(self, name: str, predicate: str) -> None:
+        self.spark.sql(f"DELETE FROM {self._fq(name)} WHERE {predicate}")
+
+    def expire_snapshots(self, name: str, older_than_ts: str) -> None:
+        """GC: drop snapshots (and newly unreachable files) older than
+        the timestamp literal, e.g. '2024-01-01 00:00:00'."""
+        self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{self.namespace}.{name}', "
+            f"older_than => TIMESTAMP '{older_than_ts}')"
+        )
+
+
+def open_catalog(
+    spark: SparkSession,
+    base: str,
+    iceberg_catalog: str | None = None,
+):
+    """Route to Iceberg when the runtime has the jars (and a catalog
+    name is configured), else the parquet-dir fallback — identical
+    call sites either way."""
+    name = iceberg_catalog or os.environ.get("SPARK_GRAFT_ICEBERG_CATALOG")
+    if (
+        name
+        and spark.conf.get(f"spark.sql.catalog.{name}", None) is not None
+        and iceberg_available(spark)
+    ):
+        return IcebergCatalog(spark, name)
+    return Catalog(spark, base)
 
 
 class Catalog:

@@ -3,7 +3,14 @@
 
 from __future__ import annotations
 
-from destor_spark.sources.catalog import Catalog
+import pytest
+
+from destor_spark.sources.catalog import (
+    Catalog,
+    IcebergCatalog,
+    iceberg_available,
+    open_catalog,
+)
 
 
 def test_write_read_roundtrip(spark, tmp_path):
@@ -51,6 +58,70 @@ def test_partition_pruning(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan, plan[:500]
     assert q.count() == 30
+
+
+def test_open_catalog_routes_to_parquet_fallback(spark, tmp_path):
+    """No Iceberg jars in this sandbox -> parquet fallback, identical
+    call sites."""
+    cat = open_catalog(spark, str(tmp_path / "cat"))
+    assert isinstance(cat, Catalog)
+    # and the env-configured route still falls back without the jars
+    cat2 = open_catalog(
+        spark, str(tmp_path / "cat"), iceberg_catalog="dedup"
+    )
+    if not iceberg_available(spark):
+        assert isinstance(cat2, Catalog)
+
+
+class _SqlRecorder:
+    """Stub SparkSession capturing the SQL the Iceberg branch issues."""
+
+    def __init__(self):
+        self.stmts: list[str] = []
+
+        class _Cat:
+            @staticmethod
+            def tableExists(name):
+                return False
+
+        self.catalog = _Cat()
+
+    def sql(self, stmt):
+        self.stmts.append(stmt)
+
+
+def test_iceberg_call_sites_without_jars():
+    """The Iceberg branch must issue the right DDL/DML even though this
+    sandbox can't execute it (skip-marked live test below runs it on a
+    real catalog)."""
+    rec = _SqlRecorder()
+    cat = IcebergCatalog(rec, "dedup", "ns")
+    assert rec.stmts[0] == "CREATE NAMESPACE IF NOT EXISTS dedup.ns"
+    cat.delete_where("assignments", "retention_class <= 2")
+    assert (
+        rec.stmts[-1]
+        == "DELETE FROM dedup.ns.assignments WHERE retention_class <= 2"
+    )
+    cat.expire_snapshots("assignments", "2024-01-01 00:00:00")
+    assert rec.stmts[-1] == (
+        "CALL dedup.system.expire_snapshots("
+        "table => 'ns.assignments', "
+        "older_than => TIMESTAMP '2024-01-01 00:00:00')"
+    )
+    assert not cat.exists("assignments")
+
+
+def test_iceberg_live_roundtrip(spark, tmp_path):
+    """Full Iceberg roundtrip — runs only where the jars + a configured
+    catalog exist (real cluster); skipped in this sandbox."""
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg jars in this runtime")
+    cat = IcebergCatalog(spark, "dedup")
+    df = spark.range(100).selectExpr("id", "id % 7 AS grp")
+    cat.write_table(df, "nums", partition_by=["grp"])
+    assert cat.read_table("nums").count() == 100
+    cat.delete_where("nums", "grp = 0")
+    assert cat.read_table("nums").filter("grp = 0").count() == 0
 
 
 def test_binaryfile_ingest(spark, tmp_path):
