@@ -41,6 +41,10 @@ HEADLINE = [
     "quality_scores",
     "lang_id",
     "ann_cosine_topk",
+    # r2 additions: bucketed scale paths + champion selection
+    "srp_ann_topk",
+    "embedding_near_dup_bucketed",
+    "champion_segments",
     "dedup_pipeline_assignments",
 ]
 

@@ -29,6 +29,15 @@ class DedupConfig:
     simhash_bits: int = 64
     simhash_radius: int = 3        # Hamming-ball radius
     simhash_blocks: int = 4        # pigeonhole blocks (radius < blocks)
+    # combination index (the 10^12-doc scale path): split into THIS many
+    # blocks and bucket on every (blocks - radius)-subset concatenation
+    # — e.g. 8 blocks/radius 3 -> C(8,5)=56 tables with 40-bit keys,
+    # ~2^24x more selective per bucket than a single 16-bit block.  Any
+    # pair within the radius leaves >= blocks-radius blocks untouched,
+    # so some subset matches exactly: still a COMPLETE candidate filter,
+    # and the exact bit_count verify keeps the final pair semantics
+    # identical to the pigeonhole path.  0 = classic pigeonhole.
+    simhash_combo_blocks: int = 0
     # --- substring pass ---
     substring_len: int = 200       # L: min shared-substring length (chars)
     # --- skew handling (destor analogue: segment-size bounds
@@ -52,6 +61,11 @@ class DedupConfig:
             )
         if self.simhash_radius >= self.simhash_blocks:
             raise ValueError("pigeonhole needs radius < blocks")
+        if self.simhash_combo_blocks:
+            if self.simhash_bits % self.simhash_combo_blocks:
+                raise ValueError("combo blocks must divide simhash_bits")
+            if self.simhash_radius >= self.simhash_combo_blocks:
+                raise ValueError("combo index needs radius < blocks")
 
 
 DEFAULT_CONFIG = DedupConfig()

@@ -18,12 +18,18 @@ feature-index machinery (sampling strategies are swappable,
 /root/reference/src/index/index.h:38-39); it reuses lsh.bucket_pairs.
 
 Scale note: 16-bit block values over 10^12 docs make dense buckets;
-the cap/star strategy in bucket_pairs bounds the work, and a
-multi-block combination index (8 blocks, pairs of blocks) is the
-documented scale-up path if SimHash recall ever dominates.
+the cap/star strategy in bucket_pairs bounds the work, and the
+COMBINATION INDEX (cfg.simhash_combo_blocks, e.g. 8 blocks -> C(8,5)=56
+tables of 40-bit keys, the scheme of Manku et al. WWW'07 "Detecting
+Near-Duplicates for Web Crawling") is the built-in scale-up path: any
+pair within radius r leaves >= blocks-r blocks untouched, so bucketing
+every (blocks-r)-subset concatenation remains a complete candidate
+filter while each table's key space grows from 2^16 to 2^40.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -31,23 +37,66 @@ from pyspark.sql import functions as F
 from destor_spark.config import DedupConfig
 
 
-def explode_blocks(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(url, warc_ts, simhash) -> (url, warc_ts, band=block_id, key=block)."""
-    width = cfg.simhash_bits // cfg.simhash_blocks
-    mask = (1 << width) - 1
-    blocks = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), i * width)
-            .bitwiseAND(F.lit(mask))
-            .alias(f"b{i}")
-            for i in range(cfg.simhash_blocks)
-        ]
+def combo_sets(cfg: DedupConfig) -> list[tuple[int, ...]]:
+    """Deterministic (blocks - radius)-subsets of block indices."""
+    return list(
+        combinations(
+            range(cfg.simhash_combo_blocks),
+            cfg.simhash_combo_blocks - cfg.simhash_radius,
+        )
     )
+
+
+def explode_blocks(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(url, warc_ts, simhash) -> (url, warc_ts, band, key) membership.
+
+    Classic pigeonhole (simhash_combo_blocks == 0): one bucket per
+    block, key = block value.  Combination index: one bucket per
+    block-subset, key = the subset's block values concatenated
+    LSB-first (width*(blocks-radius) bits in one long).
+    """
+    live = sigs.filter(F.col("n_shingles") > 0)  # empty docs: no sketch
+
+    if not cfg.simhash_combo_blocks:
+        width = cfg.simhash_bits // cfg.simhash_blocks
+        mask = (1 << width) - 1
+        blocks = F.array(
+            *[
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias(f"b{i}")
+                for i in range(cfg.simhash_blocks)
+            ]
+        )
+        return (
+            live.select(
+                "url", "warc_ts", F.posexplode(blocks).alias("band", "key")
+            )
+            # offset band ids so SimHash buckets never merge with MinHash
+            .withColumn("band", F.col("band") + F.lit(10_000))
+        )
+
+    width = cfg.simhash_bits // cfg.simhash_combo_blocks
+    mask = (1 << width) - 1
+
+    def _block(i: int):
+        return F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+            F.lit(mask)
+        )
+
+    def _combo_key(combo: tuple[int, ...]):
+        key = F.lit(0).cast("bigint")
+        for pos, i in enumerate(combo):
+            key = key.bitwiseOR(
+                F.shiftleft(_block(i), pos * width).cast("bigint")
+            )
+        return key
+
+    keys = F.array(*[_combo_key(c) for c in combo_sets(cfg)])
     return (
-        sigs.filter(F.col("n_shingles") > 0)  # empty docs: no sketch
-        .select("url", "warc_ts", F.posexplode(blocks).alias("band", "key"))
-        # offset band ids so SimHash buckets never merge with MinHash ones
-        .withColumn("band", F.col("band") + F.lit(10_000))
+        live.select("url", "warc_ts", F.posexplode(keys).alias("band", "key"))
+        # 10_100+: distinct namespace vs pigeonhole (10_000+) and MinHash
+        .withColumn("band", F.col("band") + F.lit(10_100))
     )
 
 

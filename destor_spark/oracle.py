@@ -164,15 +164,38 @@ def run_oracle(
     # --- SimHash pass ---
     simhash_pairs: set[tuple[str, str]] = set()
     if use_simhash:
-        width = cfg.simhash_bits // cfg.simhash_blocks
-        mask = (1 << width) - 1
         sbuckets: dict[tuple[int, int], list[str]] = defaultdict(list)
-        for u, sh, n in zip(urls, simhashes, nshingles):
-            if n == 0:
-                continue
-            us = sh & 0xFFFFFFFFFFFFFFFF
-            for i in range(cfg.simhash_blocks):
-                sbuckets[(10_000 + i, (us >> (i * width)) & mask)].append(u)
+        if not cfg.simhash_combo_blocks:
+            width = cfg.simhash_bits // cfg.simhash_blocks
+            mask = (1 << width) - 1
+            for u, sh, n in zip(urls, simhashes, nshingles):
+                if n == 0:
+                    continue
+                us = sh & 0xFFFFFFFFFFFFFFFF
+                for i in range(cfg.simhash_blocks):
+                    sbuckets[
+                        (10_000 + i, (us >> (i * width)) & mask)
+                    ].append(u)
+        else:
+            # combination index — mirror of simhash.explode_blocks
+            from destor_spark.operators.simhash import combo_sets
+
+            width = cfg.simhash_bits // cfg.simhash_combo_blocks
+            mask = (1 << width) - 1
+            combos = combo_sets(cfg)
+            for u, sh, n in zip(urls, simhashes, nshingles):
+                if n == 0:
+                    continue
+                us = sh & 0xFFFFFFFFFFFFFFFF
+                blocks = [
+                    (us >> (i * width)) & mask
+                    for i in range(cfg.simhash_combo_blocks)
+                ]
+                for ci, combo in enumerate(combos):
+                    key = 0
+                    for pos, i in enumerate(combo):
+                        key |= blocks[i] << (pos * width)
+                    sbuckets[(10_100 + ci, key)].append(u)
         scand = _bucket_pairs(sbuckets, docs, cfg.bucket_cap)
         sh_by_url = dict(zip(urls, simhashes))
         for ua, ub in scand:

@@ -844,6 +844,40 @@ FROM events GROUP BY ROLLUP(event_type)
 """
 
 
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (all grouping sets of event_type x day): the
+    grouping-sets shape destor's stat reports take when sliced by both
+    job and chunk class (/root/reference/src/destor.c:215-261).  Null
+    grouping keys are sentinel-coalesced identically on both engines."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        e.cube(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("__ALL__")).alias(
+                "event_type"
+            ),
+            F.coalesce(F.col("day"), F.lit("__ALL__")).alias("day"),
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+SQL_CUBE_EVENTS = """
+SELECT coalesce(event_type, '__ALL__') AS event_type,
+       coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '__ALL__') AS day,
+       count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY CUBE(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+"""
+
+
 def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-dim enrichment join: orders x customer x nation.  Dims are
     broadcast (verified in .explain: BroadcastHashJoin both hops) — the
@@ -948,6 +982,32 @@ def q_dedup_pipeline_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_champion_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """destor's greedy champion top-k WITH feature trimming
+    (top_segment_select + features_trim,
+    /root/reference/src/index/similarity_detection.c:35-126): champion
+    #2 covers the most query shingles NOT covered by champion #1, etc.
+    Iterative (k rounds) => not ANSI-SQL-expressible; rows-only driver
+    check, exact parity vs a pandas reference in
+    tests/test_champions.py."""
+    from destor_spark.operators.champions import greedy_champions
+
+    sh = _shingled_docs(spark, sf_dir)
+    e0 = sh.select("doc_id", F.explode("sh").alias("s"))
+    # df cap (see DF_CAP): destor scores on SAMPLED features, never on
+    # corpus-wide boilerplate — and a hot shingle would blow up the
+    # query-candidate hit join
+    hot = (
+        e0.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("s")
+    )
+    e = e0.join(F.broadcast(hot), "s", "left_anti")
+    queries = sh.filter(F.col("doc_id") % 100 == 0).select("doc_id")
+    return greedy_champions(e, queries, k=3)
+
+
 def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed ANN (scale path; recall<1 by design => rows-only;
     recall measured vs brute force in tests/test_ann_recall.py +
@@ -992,6 +1052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "sessionize": q_sessionize,
     "rollup_events": q_rollup_events,
+    "cube_events": q_cube_events,
     "topk_orders_per_customer": q_topk_orders_per_customer,
     "pricing_summary": q_pricing_summary,
     "join_enrich": q_join_enrich,
@@ -1000,6 +1061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_pipeline_assignments": q_dedup_pipeline_assignments,
     "srp_ann_topk": q_srp_ann_topk,
     "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
+    "champion_segments": q_champion_segments,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1019,6 +1081,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_rollup": SQL_EVENTS_ROLLUP,
     "sessionize": SQL_SESSIONIZE,
     "rollup_events": SQL_ROLLUP_EVENTS,
+    "cube_events": SQL_CUBE_EVENTS,
     "topk_orders_per_customer": SQL_TOPK_ORDERS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "join_enrich": SQL_JOIN_ENRICH,
