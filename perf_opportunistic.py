@@ -30,6 +30,8 @@ from perf_scaling import (  # noqa: E402
 )
 
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+CORES_LOW = int(os.environ.get("SPARK_GRAFT_CORES_LOW", "8"))
+CORES_HIGH = int(os.environ.get("SPARK_GRAFT_CORES_HIGH", "32"))
 FLOOR = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "0.85"))
 OUT = os.path.join(REPO, ".bench_cache", "scaling_pairs.jsonl")
 
@@ -61,24 +63,28 @@ def main() -> None:
             print(f"degraded ({frac:.2f}), sleeping 120s", flush=True)
             time.sleep(120)
             continue
-        pair = {"t": time.strftime("%H:%M:%S"), "probe0": round(frac, 3)}
-        r8 = one_run(8, path)
+        pair = {
+            "t": time.strftime("%H:%M:%S"),
+            "cores": [CORES_LOW, CORES_HIGH],
+            "probe0": round(frac, 3),
+        }
+        r8 = one_run(CORES_LOW, path)
         p1 = probe()
         if p1 > best:
             best = p1
             save_best_probe(p1)
-        pair["wall_8"] = r8["wall"]
+        pair[f"wall_{CORES_LOW}"] = r8["wall"]
         pair["probe_mid"] = round(p1 / best, 3)
-        r32 = one_run(32, path)
+        r32 = one_run(CORES_HIGH, path)
         p2 = probe()
         if p2 > best:
             best = p2
             save_best_probe(p2)
-        pair["wall_32"] = r32["wall"]
+        pair[f"wall_{CORES_HIGH}"] = r32["wall"]
         pair["probe_end"] = round(p2 / best, 3)
         pair["n_docs"] = N_DOCS
         pair["speedup"] = round(r8["wall"] / r32["wall"], 2)
-        pair["eff"] = round(r8["wall"] / r32["wall"] / 4.0, 3)
+        pair["eff"] = round(r8["wall"] / r32["wall"] / (CORES_HIGH / CORES_LOW), 3)
         with open(OUT, "a") as f:
             f.write(json.dumps(pair) + "\n")
         print(json.dumps(pair), flush=True)

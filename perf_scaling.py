@@ -26,6 +26,13 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+# N vs 4N parallelism levels.  8/32 hits this host's measured ~21
+# effective-core ceiling (BENCH.md) — 32 threads can never see 4x the
+# cores of 8; 2/8 keeps BOTH runs inside the host's real capacity and
+# measures the CODE's scaling, which is what the north rule's
+# N->4N-executor criterion is about.
+CORES_LOW = int(os.environ.get("SPARK_GRAFT_CORES_LOW", "8"))
+CORES_HIGH = int(os.environ.get("SPARK_GRAFT_CORES_HIGH", "32"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
 PROBE_FLOOR = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "0.7"))
 MAX_WAITS = int(os.environ.get("SPARK_GRAFT_MAX_WAITS", "6"))
@@ -107,12 +114,12 @@ def main() -> None:
     from destor_spark.synth import ensure_corpus
 
     path, _ = ensure_corpus(os.path.join(REPO, ".bench_cache"), 42, N_DOCS)
-    samples: dict[int, list[dict]] = {8: [], 32: []}
+    samples: dict[int, list[dict]] = {CORES_LOW: [], CORES_HIGH: []}
     best_probe = max(probe(), load_best_probe())
     save_best_probe(best_probe)
     print(f"probe baseline {best_probe:.3g} ops/s", flush=True)
     for r in range(REPEATS):
-        for cores in (8, 32):
+        for cores in (CORES_LOW, CORES_HIGH):
             waits = 0
             while True:
                 p = probe()
@@ -136,18 +143,19 @@ def main() -> None:
                 f"probe_frac={res['probe_frac']}",
                 flush=True,
             )
-    t8 = min(s["wall"] for s in samples[8])
-    t32 = min(s["wall"] for s in samples[32])
-    eff = round((t8 / t32) / 4.0, 3)
+    t8 = min(s["wall"] for s in samples[CORES_LOW])
+    t32 = min(s["wall"] for s in samples[CORES_HIGH])
+    ratio = CORES_HIGH / CORES_LOW
+    eff = round((t8 / t32) / ratio, 3)
     out = {
-        "metric": "dedup scaling local[8]->local[32], min of repeats",
+        "metric": f"dedup scaling local[{CORES_LOW}]->local[{CORES_HIGH}], min of repeats",
         "n_docs": N_DOCS,
-        "samples_8": samples[8],
-        "samples_32": samples[32],
-        "best_wall_8": t8,
-        "best_wall_32": t32,
-        "docs_per_sec_8": round(N_DOCS / t8, 1),
-        "docs_per_sec_32": round(N_DOCS / t32, 1),
+        "samples_low": samples[CORES_LOW],
+        "samples_high": samples[CORES_HIGH],
+        "best_wall_low": t8,
+        "best_wall_high": t32,
+        "docs_per_sec_low": round(N_DOCS / t8, 1),
+        "docs_per_sec_high": round(N_DOCS / t32, 1),
         "speedup": round(t8 / t32, 2),
         "scaling_efficiency": eff,
     }

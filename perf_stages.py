@@ -38,7 +38,7 @@ def main() -> None:
     pages.count()  # warm
 
     cfg = DedupConfig()
-    root = _mat_root()
+    root = _mat_root(spark)
     stages: dict[str, float] = {}
     t_all = time.time()
 
