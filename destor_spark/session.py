@@ -11,6 +11,7 @@ Scale notes (the settings that matter on a 1000-executor cluster):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -58,8 +59,21 @@ def build_session(
     # shootdowns hit every core).  ParallelGC with a pinned heap does
     # no uncommit; measured: signature stage 53-187 s -> stable ~30 s
     # at local[32] on 100k docs.
+    # GC threads sized to the WORKER count, not the host vCPU count: a
+    # local[8] JVM on a 32-vCPU host defaults ParallelGCThreads to ~23,
+    # so collections contend with the 8 workers (and with the
+    # oversubscribed host) — event-log profiling at 1M docs showed GC
+    # billing 43% of executor run time in the allocation-heavy
+    # tokenize/signature stages.  Match GC parallelism to the cores the
+    # session actually uses.
+    m = re.fullmatch(r"local\[(\d+|\*)\]", master or "")
+    n_workers = (
+        cores if (not m or m.group(1) == "*") else max(2, int(m.group(1)))
+    )
     java_opts = os.environ.get(
-        "SPARK_GRAFT_JAVA_OPTS", f"-Xms{driver_mem} -XX:+UseParallelGC"
+        "SPARK_GRAFT_JAVA_OPTS",
+        f"-Xms{driver_mem} -XX:+UseParallelGC "
+        f"-XX:ParallelGCThreads={n_workers}",
     )
     # Executor opts built EXPLICITLY (GC flag only, no -Xms): deriving
     # them by string-stripping the driver opts would forward any
