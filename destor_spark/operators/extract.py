@@ -13,12 +13,15 @@ Spark surface: an Arrow-vectorized pandas UDF (no per-row Python UDF).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 EXTRACTOR_VERSION = 1
+GENERIC_EXTRACTOR_VERSION = 1
 
 _OPEN = b"<!--TEXT-->"
 _CLOSE = b"<!--/TEXT-->"
@@ -41,11 +44,68 @@ def extract_text(html: bytes | None) -> str | None:
     return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
 
+_SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_generic_html(html: bytes | None) -> str | None:
+    """Deterministic general-HTML extractor (no markers required):
+    drop script/style blocks and comments, strip tags, decode the basic
+    entities, normalize whitespace runs to single spaces.
+
+    Pure and versioned (GENERIC_EXTRACTOR_VERSION) like extract_text —
+    byte-identity regressions are detectable the same way.  This is
+    the path REAL crawl input takes; the marker extractor stays the
+    frozen v1 invariant for the synth corpus (its round-trip
+    extraction(render(text)) == text is exact, which tag-stripping
+    cannot be).
+    """
+    if html is None:
+        return None
+    s = html.decode("utf-8", errors="replace")
+    s = _SCRIPT_RE.sub(" ", s)
+    s = _COMMENT_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    for k, v in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+    ):
+        s = s.replace(k, v)
+    s = _WS_RE.sub(" ", s).strip()
+    return s or None
+
+
 @pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text)
 
 
-def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
-    """Fill/replace out_col from html via the versioned extractor."""
-    return df.withColumn(out_col, extract_text_udf(F.col(html_col)))
+@pandas_udf(StringType())
+def extract_text_fallback_udf(html: pd.Series) -> pd.Series:
+    def _one(b):
+        t = extract_text(b)
+        return t if t is not None else extract_generic_html(b)
+
+    return html.map(_one)
+
+
+def with_extracted_text(
+    df,
+    html_col: str = "html",
+    out_col: str = "text",
+    generic_fallback: bool = False,
+):
+    """Fill/replace out_col from html via the versioned extractor.
+
+    generic_fallback=True additionally runs the tag-strip extractor on
+    pages without text markers (real crawl data); default False keeps
+    the frozen marker-only v1 semantics.
+    """
+    udf = extract_text_fallback_udf if generic_fallback else extract_text_udf
+    return df.withColumn(out_col, udf(F.col(html_col)))

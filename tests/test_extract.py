@@ -32,6 +32,42 @@ def test_extract_none_cases():
     assert extract_text(b"<!--TEXT-->unclosed") is None
 
 
+def test_generic_html_extractor():
+    from destor_spark.operators.extract import extract_generic_html
+
+    html = (
+        b"<html><head><style>p{color:red}</style>"
+        b"<script>var x = '<p>not text</p>';</script></head>"
+        b"<body><!-- comment --><h1>Title</h1>\n"
+        b"<p>Hello &amp; welcome to   the &lt;real&gt; web.</p>"
+        b"<div>&amp;lt; stays entity</div></body></html>"
+    )
+    got = extract_generic_html(html)
+    assert got == "Title Hello & welcome to the <real> web. &lt; stays entity"
+    assert extract_generic_html(None) is None
+    assert extract_generic_html(b"<p>  </p>") is None
+    # deterministic
+    assert extract_generic_html(html) == extract_generic_html(html)
+
+
+def test_fallback_udf_routes_both_paths(spark):
+    from destor_spark.operators.extract import with_extracted_text
+
+    df = spark.createDataFrame(
+        [
+            ("marked", render_html("inside markers")),
+            ("plain", b"<html><body><p>real web page</p></body></html>"),
+        ],
+        "url string, html binary",
+    )
+    out = {
+        r["url"]: r["text"]
+        for r in with_extracted_text(df, generic_fallback=True).collect()
+    }
+    assert out["marked"] == "inside markers"
+    assert out["plain"] == "real web page"
+
+
 def test_spark_extraction_byte_identical(spark, smoke_corpus):
     pages, _ = smoke_corpus
     sdf = spark.createDataFrame(pages)
