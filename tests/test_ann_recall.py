@@ -74,20 +74,73 @@ def test_srp_near_dup_pairs_match_brute_force(spark):
     """The bucketed near-dup path must find EXACTLY the brute-force
     pair set on a corpus with planted >=0.99-cosine twins (recall via
     the 8x16-bit band OR-construction, precision via the exact-cosine
-    verify)."""
+    verify).  Also asserts no fixture bucket hit the star strategy —
+    the exact-parity claim is only exercised in the under-cap regime
+    (the docstring of srp_near_dup_pairs documents the over-cap
+    recall caveat)."""
+    from destor_spark.config import DedupConfig
+    from destor_spark.operators.ann import near_dup_band_relation
+    from destor_spark.operators.lsh import bucket_pairs
+
     df, brute = _planted_corpus(spark)
     assert brute, "fixture must plant near-dup pairs"
-    got = {(r.vec_a, r.vec_b) for r in srp_near_dup_pairs(df).collect()}
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in srp_near_dup_pairs(df, dim=64).collect()
+    }
     assert got == brute
+    _, stats = bucket_pairs(
+        near_dup_band_relation(df, dim=64), DedupConfig(bucket_cap=64)
+    )
+    assert stats.filter(F.col("strategy") == "star").count() == 0
 
 
 def test_bucketed_matches_bruteforce_on_driver_table(spark):
     """Driver-table consistency: the bucketed near-dup query returns
-    the same pair set as its brute-force oracle twin at sf0.001."""
+    the same pair set as its brute-force oracle twin at sf0.001 — and
+    the set is the PINNED planted-twin set (non-vacuous: round-2's
+    0-row rows-only gate proved nothing)."""
     import destor_spark.queries as Q
 
     bf = Q.q_embedding_near_dup_pairs(spark, SF_DIR).toPandas()
     bk = Q.q_embedding_near_dup_bucketed(spark, SF_DIR).toPandas()
-    assert set(map(tuple, bf[["vec_a", "vec_b"]].values.tolist())) == set(
-        map(tuple, bk[["vec_a", "vec_b"]].values.tolist())
-    )
+    want = {
+        (i, i + Q._PLANT_OFFSET) for i in range(Q._PLANT_N)
+    }
+    assert set(map(tuple, bf[["vec_a", "vec_b"]].values.tolist())) == want
+    assert set(map(tuple, bk[["vec_a", "vec_b"]].values.tolist())) == want
+    assert (bf["msim"] >= 990_000).all() and len(bf) == Q._PLANT_N
+
+
+def test_srp_topk_no_broadcast_path(spark):
+    """broadcast_queries=False must not plant a broadcast hint: with
+    auto-broadcast disabled the band join compiles to a shuffled join
+    (the only shape that survives a corpus-scale query set), while the
+    default still broadcasts."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = srp_topk(
+            emb, qs, dim=64, k=10, broadcast_queries=False
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in shuffled
+        hinted = srp_topk(
+            emb, qs, dim=64, k=10, broadcast_queries=True
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in hinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_champion_segments_pinned_nonzero(spark):
+    """De-vacuated driver gate: q_champion_segments at sf0.001 returns
+    a pinned non-zero row count (every doc is a query; the planted
+    near-dup docs guarantee hits)."""
+    import destor_spark.queries as Q
+
+    rows = Q.q_champion_segments(spark, SF_DIR).collect()
+    assert len(rows) == 58
+    # this fixture's dup clusters are pairs: rank 3 never fills
+    assert {r.rnk for r in rows} == {1, 2}
