@@ -276,6 +276,16 @@ def has_common_substring(a: str, b: str, k: int) -> bool:
     chars; this proves the configured L exactly (destor's dedup is
     byte-exact per chunk, /root/reference/src/hash_phase.c:25-28 -- a
     claimed span must actually match).
+
+    Complexity bound: expected O(|a| + |b|); the early exit returns on
+    the FIRST confirmed match, so the adversarial case (O(|b| * hits)
+    slice compares) needs a near-miss corpus — e.g. both strings one
+    repeated character but differing at position k-1 — where every
+    probe hash-hits yet no slice matches.  The 61-bit modulus makes
+    spurious (non-equal-substring) hash hits negligible; pathological
+    inputs are self-similar TEXTS, not hash collisions, and the per-k
+    cost is still bounded by the candidate pass's span claim being
+    verified once per pair.
     """
     if k <= 0:
         return True

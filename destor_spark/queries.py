@@ -908,6 +908,41 @@ GROUP BY CUBE(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
 """
 
 
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form GROUPING SETS ((event_type), (day), (event_type, day))
+    — the arbitrary-slice report shape that ROLLUP/CUBE can't express
+    (a cube would add the () grand total; this set omits it).  Uses the
+    Spark 4 DataFrame.groupingSets API; one shuffle, partial aggregates
+    map-side like any hash aggregate.  Completes SURVEY section 2.14's
+    relational surface next to rollup_events/cube_events.  Expressed in
+    Spark SQL (same Catalyst Expand + hash-aggregate plan the cube/
+    rollup DataFrame calls compile to)."""
+    return spark.sql(f"""
+        SELECT coalesce(event_type, '__ALL__') AS event_type,
+               coalesce(date_format(date_trunc('day', ts), 'yyyy-MM-dd'),
+                        '__ALL__') AS day,
+               count(*) AS n,
+               CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents
+        FROM parquet.`{sf_dir}/events.parquet`
+        GROUP BY GROUPING SETS (
+            (event_type),
+            (date_format(date_trunc('day', ts), 'yyyy-MM-dd')),
+            (event_type, date_format(date_trunc('day', ts), 'yyyy-MM-dd')))
+    """)
+
+
+SQL_GROUPING_SETS_EVENTS = """
+SELECT coalesce(event_type, '__ALL__') AS event_type,
+       coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), '__ALL__') AS day,
+       count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY GROUPING SETS ((event_type),
+                        (strftime(date_trunc('day', ts), '%Y-%m-%d')),
+                        (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')))
+"""
+
+
 def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-dim enrichment join: orders x customer x nation.  Dims are
     broadcast (verified in .explain: BroadcastHashJoin both hops) — the
@@ -1143,6 +1178,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "rollup_events": q_rollup_events,
     "cube_events": q_cube_events,
+    "grouping_sets_events": q_grouping_sets_events,
     "topk_orders_per_customer": q_topk_orders_per_customer,
     "pricing_summary": q_pricing_summary,
     "join_enrich": q_join_enrich,
@@ -1172,6 +1208,7 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "rollup_events": SQL_ROLLUP_EVENTS,
     "cube_events": SQL_CUBE_EVENTS,
+    "grouping_sets_events": SQL_GROUPING_SETS_EVENTS,
     "topk_orders_per_customer": SQL_TOPK_ORDERS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "join_enrich": SQL_JOIN_ENRICH,

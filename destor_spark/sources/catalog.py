@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -72,7 +73,16 @@ class IcebergCatalog:
             f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}"
         )
 
+    _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
     def _fq(self, name: str) -> str:
+        # table names are interpolated into SQL (delete_where,
+        # expire_snapshots): restrict to identifier characters.  The
+        # WHERE predicate itself is intentionally raw SQL — this is an
+        # internal API whose callers pass literal predicates, never
+        # user input (see delete_where docstring).
+        if not self._NAME_RE.fullmatch(name):
+            raise ValueError(f"invalid table name {name!r}")
         return f"{self.catalog}.{self.namespace}.{name}"
 
     def write_table(
@@ -82,6 +92,15 @@ class IcebergCatalog:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
     ) -> None:
+        """mode: 'overwrite' (createOrReplace) or 'append' (creates the
+        table if absent).  Any other mode raises — silently mapping
+        'error'/'ignore' semantics onto createOrReplace would clobber
+        existing tables."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(
+                f"unsupported write mode {mode!r}: use 'overwrite' or "
+                "'append'"
+            )
         w = df.writeTo(self._fq(name))
         if partition_by:
             from pyspark.sql import functions as F
@@ -105,6 +124,9 @@ class IcebergCatalog:
         return self.spark.catalog.tableExists(self._fq(name))
 
     def delete_where(self, name: str, predicate: str) -> None:
+        """predicate is interpolated verbatim into the DELETE statement
+        — pass trusted literal SQL only (internal API; do NOT route
+        user input here)."""
         self.spark.sql(f"DELETE FROM {self._fq(name)} WHERE {predicate}")
 
     def expire_snapshots(self, name: str, older_than_ts: str) -> None:

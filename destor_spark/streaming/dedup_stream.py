@@ -23,6 +23,7 @@ tests/test_streaming.py (availableNow trigger, no wall-clock waits).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -112,7 +113,18 @@ def run_incremental_dedup(
     band_cols = ["url", "warc_ts", "bid", "band", "key"]
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        # per-batch barrier dir, removed before the batch returns: a
+        # long-lived driver must not accumulate b{id}_* intermediates
+        # (the band/sig/pair STORES are the durable state, not these)
         root = _mat_root(spark)
+        try:
+            _process_inner(batch, batch_id, root)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    def _process_inner(
+        batch: DataFrame, batch_id: int, root: str
+    ) -> None:
         sigs = _materialize(
             signatures_stage(batch, cfg), f"b{batch_id}_sigs", root
         )
