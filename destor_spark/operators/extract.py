@@ -14,6 +14,7 @@ Spark surface: an Arrow-vectorized pandas UDF (no per-row Python UDF).
 from __future__ import annotations
 
 import re
+from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -21,7 +22,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 EXTRACTOR_VERSION = 1
-GENERIC_EXTRACTOR_VERSION = 1
+GENERIC_EXTRACTOR_VERSION = 2
 
 _OPEN = b"<!--TEXT-->"
 _CLOSE = b"<!--/TEXT-->"
@@ -44,40 +45,96 @@ def extract_text(html: bytes | None) -> str | None:
     return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
 
-_SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
-_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
-_TAG_RE = re.compile(r"(?s)<[^>]*>")
-_WS_RE = re.compile(r"\s+")
+# v2 semantics (the versioned contract — bump GENERIC_EXTRACTOR_VERSION
+# on ANY observable change):
+#   * parsed with html.parser.HTMLParser (lenient, never raises), so
+#     quoted '>' inside attributes, unclosed tags, and stray '<' in
+#     text are handled the way browsers handle them — the v1 regex
+#     tag-stripper broke on all three;
+#   * script/style/noscript/template subtrees contribute NO text;
+#   * ALL named + numeric character references decode (&#x27; &#160;
+#     &eacute; ... — convert_charrefs), not just the 6 basic ones;
+#   * block elements (p, div, li, tr, br, headings, ...) contribute a
+#     line break; inline elements don't — '<p>a</p><p>b</p>' is
+#     'a\nb', not 'a b';
+#   * whitespace: raw whitespace in character data (including source
+#     newlines inside a paragraph) collapses to a single space, the
+#     browser rule; ONLY block boundaries produce '\n'.  Spaces around
+#     line breaks are dropped, line-break runs collapse to one '\n',
+#     ends are stripped.  NBSP (\xa0) is a real rendered character
+#     and is preserved, never collapsed.  (<pre> content is normalized
+#     like everything else — acceptable for dedup/quality features,
+#     documented here.)
+_SKIP_TAGS = frozenset({"script", "style", "noscript", "template"})
+_BLOCK_TAGS = frozenset({
+    "address", "article", "aside", "blockquote", "br", "caption", "dd",
+    "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer",
+    "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hr", "li",
+    "main", "nav", "ol", "option", "p", "pre", "section", "select",
+    "table", "tbody", "td", "tfoot", "th", "thead", "tr", "ul",
+})
+# ASCII whitespace only: \xa0 and other Unicode spaces are rendered
+# characters and must survive (re's \s would eat them)
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_NL_RE = re.compile(r" ?\n[ \n]*")
+
+
+class _TextCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if not self._skip:
+            # the browser rule: raw whitespace (incl. source newlines
+            # inside a paragraph) collapses to a space; only the '\n'
+            # markers pushed by block tags become line breaks
+            self.parts.append(_WS_RE.sub(" ", data))
 
 
 def extract_generic_html(html: bytes | None) -> str | None:
-    """Deterministic general-HTML extractor (no markers required):
-    drop script/style blocks and comments, strip tags, decode the basic
-    entities, normalize whitespace runs to single spaces.
+    """Deterministic general-HTML extractor (no markers required); see
+    the v2 semantics block above.
 
     Pure and versioned (GENERIC_EXTRACTOR_VERSION) like extract_text —
     byte-identity regressions are detectable the same way.  This is
-    the path REAL crawl input takes; the marker extractor stays the
-    frozen v1 invariant for the synth corpus (its round-trip
-    extraction(render(text)) == text is exact, which tag-stripping
-    cannot be).
+    the path REAL crawl input takes (golden-tested against committed
+    page fixtures in tests/test_extract_generic.py, including an
+    idempotence property); the marker extractor stays the frozen v1
+    invariant for the synth corpus (its round-trip
+    extraction(render(text)) == text is exact, which general HTML
+    extraction cannot be).
     """
     if html is None:
         return None
-    s = html.decode("utf-8", errors="replace")
-    s = _SCRIPT_RE.sub(" ", s)
-    s = _COMMENT_RE.sub(" ", s)
-    s = _TAG_RE.sub(" ", s)
-    for k, v in (
-        ("&lt;", "<"),
-        ("&gt;", ">"),
-        ("&quot;", '"'),
-        ("&#39;", "'"),
-        ("&nbsp;", " "),
-        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
-    ):
-        s = s.replace(k, v)
-    s = _WS_RE.sub(" ", s).strip()
+    p = _TextCollector()
+    try:
+        p.feed(html.decode("utf-8", errors="replace"))
+        p.close()
+    except Exception:
+        # html.parser is documented lenient; belt-and-braces so one
+        # pathological page can't fail a 100 TB extract stage
+        return None
+    s = "".join(p.parts)
+    s = re.sub(r" {2,}", " ", s)  # joins across chunk boundaries
+    s = _NL_RE.sub("\n", s).strip()
     return s or None
 
 

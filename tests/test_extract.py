@@ -43,7 +43,8 @@ def test_generic_html_extractor():
         b"<div>&amp;lt; stays entity</div></body></html>"
     )
     got = extract_generic_html(html)
-    assert got == "Title Hello & welcome to the <real> web. &lt; stays entity"
+    # v2: block elements (h1/p/div) are line breaks, not spaces
+    assert got == "Title\nHello & welcome to the <real> web.\n&lt; stays entity"
     assert extract_generic_html(None) is None
     assert extract_generic_html(b"<p>  </p>") is None
     # deterministic
