@@ -46,6 +46,8 @@ HEADLINE = [
     "embedding_near_dup_bucketed",
     "champion_segments",
     "dedup_pipeline_assignments",
+    # r3 additions
+    "grouping_sets_events",
 ]
 
 
@@ -88,6 +90,36 @@ def run_dedup_pipeline(spark, pages_path: str) -> tuple[int, float]:
     return n, time.time() - t0
 
 
+def bench_simhash_passes(spark, pages_path: str) -> dict[str, float]:
+    """Pigeonhole (default) vs 8-block combination index (SCALE_CONFIG
+    path) over the SAME signature table: identical verified pairs
+    (parity-gated in tests/test_simhash_combo.py), different bucket
+    selectivity — the number the combo path exists to improve."""
+    from destor_spark.config import DedupConfig
+    from destor_spark.operators.simhash import simhash_pairs
+    from destor_spark.plans.pipeline import (
+        _materialize,
+        _mat_root,
+        signatures_stage,
+    )
+
+    pages = spark.read.parquet(pages_path)
+    sigs = _materialize(
+        signatures_stage(pages, DedupConfig()),
+        "bench_simhash_sigs",
+        _mat_root(spark),
+    )
+    out = {}
+    for label, cfg in (
+        ("simhash_pass_pigeonhole", DedupConfig()),
+        ("simhash_pass_combo8", DedupConfig(simhash_combo_blocks=8)),
+    ):
+        t0 = time.time()
+        simhash_pairs(sigs, cfg).count()
+        out[label] = round(time.time() - t0, 3)
+    return out
+
+
 def default_bench() -> None:
     import destor_spark.queries as Q
 
@@ -104,6 +136,7 @@ def default_bench() -> None:
     n, wall = run_dedup_pipeline(spark, pages_path)
     per_query["webpages_dedup_pipeline"] = round(wall, 3)
     docs_per_sec = round(n / wall, 1)
+    per_query.update(bench_simhash_passes(spark, pages_path))
 
     total = round(sum(per_query.values()), 3)
     print(

@@ -22,8 +22,11 @@ tests/test_streaming.py (availableNow trigger, no wall-clock waits).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -68,6 +71,7 @@ def run_incremental_dedup(
     value_len: int = 64,
     n_key_buckets: int = 64,
     n_url_buckets: int = 64,
+    max_event_age: str | None = None,
 ) -> None:
     """foreachBatch incremental LSH dedup with a BOUNDED, PRUNED store.
 
@@ -96,6 +100,23 @@ def run_incremental_dedup(
     from the current batch (old-old pairs were emitted when first
     seen), so the pair store grows with new data only.  availableNow
     trigger => terminates when the backlog drains.
+
+    Event-time retention (max_event_age, e.g. "7 days"): alongside the
+    batch-arrival FIFO, an event-time watermark — the max warc_ts seen
+    across all batches, persisted monotonically in
+    state_dir/watermark.json — defines a horizon = watermark - age.
+    Same semantics as Spark's own streaming watermark, applied to the
+    LSH branch:
+      * LATE-DATA DROP: batch rows with warc_ts < horizon never enter
+        the band store and generate no pairs (a too-late document is
+        not deduplicated — destor's bounded fingerprint cache has the
+        identical miss semantics for evicted entries);
+      * STATE EVICTION: on every touched-partition rewrite, stored
+        members with warc_ts < horizon are dropped, so bucket state is
+        bounded by the event-time window as well as by the FIFO k.
+        Untouched partitions evict lazily at their next touch (their
+        bytes are already bounded by the FIFO rule).
+    None (default) disables event-time retention (FIFO only).
     """
     from destor_spark.plans.pipeline import _materialize, _mat_root
 
@@ -103,6 +124,8 @@ def run_incremental_dedup(
     sig_store = os.path.join(state_dir, "signatures")
     pair_store = os.path.join(state_dir, "pairs")
     ckpt = os.path.join(state_dir, "_checkpoint")
+    wm_path = os.path.join(state_dir, "watermark.json")
+    age = pd.Timedelta(max_event_age) if max_event_age else None
 
     src = (
         spark.readStream.schema(WEB_PAGES_DDL)
@@ -128,6 +151,20 @@ def run_incremental_dedup(
         sigs = _materialize(
             signatures_stage(batch, cfg), f"b{batch_id}_sigs", root
         )
+        horizon = None
+        if age is not None:
+            prev = None
+            if os.path.exists(wm_path):
+                with open(wm_path) as f:
+                    prev = pd.Timestamp(json.load(f)["watermark"])
+            row = sigs.agg(F.max("warc_ts").alias("m")).first()
+            batch_max = pd.Timestamp(row["m"]) if row["m"] else None
+            wm = max(p for p in (prev, batch_max) if p is not None) \
+                if (prev or batch_max) else None
+            if wm is not None:
+                with open(wm_path, "w") as f:
+                    json.dump({"watermark": wm.isoformat()}, f)
+                horizon = wm - age
         new_bands = lsh_op.explode_bands(sigs).select(
             "url",
             "warc_ts",
@@ -136,6 +173,13 @@ def run_incremental_dedup(
             "key",
             F.pmod("key", F.lit(n_key_buckets)).alias("kb"),
         )
+        if horizon is not None:
+            # late-data drop: too-late rows join no bucket
+            new_bands = new_bands.filter(
+                F.col("warc_ts") >= F.lit(horizon.isoformat()).cast(
+                    "timestamp"
+                )
+            )
         touched_kbs = [
             r["kb"] for r in new_bands.select("kb").distinct().collect()
         ]
@@ -147,6 +191,14 @@ def run_incremental_dedup(
             merged = old.select(*band_cols, "kb").unionByName(new_bands)
         else:
             merged = new_bands
+
+        if horizon is not None:
+            # event-time eviction on the partitions being rewritten
+            merged = merged.filter(
+                F.col("warc_ts") >= F.lit(horizon.isoformat()).cast(
+                    "timestamp"
+                )
+            )
 
         # FIFO newest-k per (band, key): arrival order = (bid, warc_ts, url)
         w = Window.partitionBy("band", "key").orderBy(

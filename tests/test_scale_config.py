@@ -1,0 +1,29 @@
+"""SCALE_CONFIG (the documented 10^12-doc profile) must change only
+physical strategy, never pair semantics: full-pipeline assignments are
+identical to DEFAULT_CONFIG on the same corpus."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from destor_spark.config import DEFAULT_CONFIG, SCALE_CONFIG
+from destor_spark.plans.pipeline import run_pipeline
+from destor_spark.synth import make_corpus
+
+
+def _assignments(spark, cfg, pages):
+    res = run_pipeline(spark.createDataFrame(pages), cfg, use_simhash=True)
+    return (
+        res.assignments.select("url", "cluster_id", "is_canonical")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def test_scale_profile_assignment_parity(spark):
+    pages, _ = make_corpus(seed=31, n_docs=150)
+    a = _assignments(spark, DEFAULT_CONFIG, pages)
+    b = _assignments(spark, SCALE_CONFIG, pages)
+    assert a["cluster_id"].nunique() < len(a), "fixture has no dups"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -84,6 +84,56 @@ def test_fifo_retention_bounds_store(spark, cfg, tmp_path):
     assert "u06" in survivors and "u00" not in survivors
 
 
+def test_event_time_retention_bounds_store(spark, cfg, tmp_path):
+    """max_event_age: a doc arriving later than watermark - age is
+    DROPPED (never deduplicated — documented late-data policy), and
+    stored members older than the horizon are EVICTED on rewrite, so
+    LSH state is bounded by the event-time window too."""
+    in_dir = str(tmp_path / "in_evt")
+    state = str(tmp_path / "state_evt")
+    os.makedirs(in_dir)
+    text = "the same exact duplicated text body " * 20
+    day = lambda d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)  # noqa: E731
+
+    def _write(name, rows):
+        df = pd.DataFrame(
+            [
+                {"url": u, "warc_ts": ts, "html": b"", "text": text,
+                 "lang": "en"}
+                for u, ts in rows
+            ]
+        )
+        df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+        df.to_parquet(os.path.join(in_dir, name), index=False)
+
+    _write("b1.parquet", [("u00", day(8)), ("u01", day(10))])
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+    # watermark = day 10, horizon = day 5: both in store, pair emitted
+    pairs = pd.read_parquet(os.path.join(state, "pairs"))
+    assert {frozenset((a, b)) for a, b in zip(pairs.url_a, pairs.url_b)} == {
+        frozenset(("u00", "u01"))
+    }
+
+    # batch 2: u02 fresh (day 20), u03 too late (day 3 < new horizon 15)
+    _write("b2.parquet", [("u02", day(20)), ("u03", day(3))])
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+
+    store = pd.read_parquet(os.path.join(state, "band_store"))
+    # late doc never entered; u00/u01 evicted from the touched buckets
+    assert set(store["url"]) == {"u02"}
+    pairs = pd.read_parquet(os.path.join(state, "pairs"))
+    urls_in_pairs = set(pairs.url_a) | set(pairs.url_b)
+    assert "u03" not in urls_in_pairs
+    assert {frozenset((a, b)) for a, b in zip(pairs.url_a, pairs.url_b)} == {
+        frozenset(("u00", "u01"))
+    }
+    # the watermark is persisted monotonically
+    import json
+
+    with open(os.path.join(state, "watermark.json")) as f:
+        assert pd.Timestamp(json.load(f)["watermark"]) == day(20)
+
+
 def test_store_scan_is_pruned(spark, cfg, tmp_path):
     """Per-batch scan bytes stay bounded as the store grows: a batch
     reads only the kb partitions its own keys touch (partition
