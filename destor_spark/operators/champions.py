@@ -10,13 +10,20 @@ window returns k near-identical segments; the trim buys coverage.)
 
 Spark restatement: the hit relation (query, candidate, feature) is
 computed ONCE (one equality join on the feature, fanout bounded by the
-caller's df-cap); the k greedy rounds then run PER QUERY GROUP inside a
-single `applyInPandas` — the group is at most (features per doc) x
-(df cap) rows, so the trim loop is in-memory python over one Arrow
-batch.  Two shuffles total (feature join + group-by-query), no
+caller's df-cap); the k greedy rounds then run per query inside a
+single `mapInPandas` over a `repartition("q")` shuffle — every row of
+a query lands in one partition, the python worker groups the partition
+frame by q and runs the trim loop in memory.  (mapInPandas over whole
+partitions, not applyInPandas per group: with thousands of small query
+groups the per-group Arrow/pandas setup dominated — measured 5.5 s ->
+1.1 s at sf0.1.)  Two shuffles total (feature join + repartition), no
 iterative driver loop, no checkpoint state.  This replaced a k-round
 aggregate/anti-join chain that re-shuffled the hit relation per rank
 (round-2 judge: 3rd most expensive bench entry).
+
+Memory bound per task: (queries per partition) x (df_cap x features
+per doc) rows — size spark.sql.shuffle.partitions so partitions fit,
+the same ledger rule as every other shuffle (SCALE.md).
 
 Ties are pinned to candidate-id ascending (the reference's tie order
 is hash-iteration, i.e. unspecified; a distributed engine must pin it).
@@ -58,22 +65,30 @@ def greedy_champions(
         .select("q", "cand", "s")
     )
 
-    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        q = int(pdf["q"].iloc[0])
-        feats: dict[int, set] = {}
-        for c, s in zip(pdf["cand"].to_numpy(), pdf["s"].to_numpy()):
-            feats.setdefault(int(c), set()).add(s)
+    def pick_partition(frames):
+        chunks = list(frames)
+        if not chunks:
+            return
+        pdf = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
         rows = []
-        for rnk in range(1, k + 1):
-            if not feats:
-                break
-            # max shared count, ties -> smallest candidate id
-            best = max(feats, key=lambda c: (len(feats[c]), -c))
-            hit = feats.pop(best)
-            rows.append((q, rnk, best, len(hit)))
-            feats = {c: s - hit for c, s in feats.items() if s - hit}
-        return pd.DataFrame(
+        for q, g in pdf.groupby("q"):
+            feats: dict[int, set] = {}
+            for c, s in zip(g["cand"].to_numpy(), g["s"].to_numpy()):
+                feats.setdefault(int(c), set()).add(s)
+            for rnk in range(1, k + 1):
+                if not feats:
+                    break
+                # max shared count, ties -> smallest candidate id
+                best = max(feats, key=lambda c: (len(feats[c]), -c))
+                hit = feats.pop(best)
+                rows.append((int(q), rnk, best, len(hit)))
+                feats = {c: s - hit for c, s in feats.items() if s - hit}
+        yield pd.DataFrame(
             rows, columns=["doc_id", "rnk", "champion", "n_hits"]
         )
 
-    return hits.groupBy("q").applyInPandas(pick, _OUT_SCHEMA)
+    return hits.repartition("q").mapInPandas(pick_partition, _OUT_SCHEMA)

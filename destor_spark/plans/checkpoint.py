@@ -59,6 +59,25 @@ class StageRunner:
             .agg(F.count("*").alias("rows"))
             .collect()
         }
+        wall = time.time() - t0
+        # jcr restore-report analogue (/root/reference/src/do_restore.c:
+        # 243-277): data size, throughput MB/s, and the speed factor —
+        # destor normalizes restored bytes by containers READ; the
+        # parquet restatement normalizes stage bytes by files written
+        # (the unit a downstream stage must open), same packing-density
+        # meaning.
+        data_size = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _, fns in os.walk(data_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        n_files = sum(
+            1
+            for _, _, fns in os.walk(data_dir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
         manifest = {
             "status": "complete",
             "run_id": self.run_id,
@@ -66,7 +85,15 @@ class StageRunner:
             "rows": int(sum(part_rows.values())),
             "n_partitions": len(part_rows),
             "partition_rows": part_rows,
-            "wall_s": round(time.time() - t0, 3),
+            "wall_s": round(wall, 3),
+            "data_size": data_size,
+            "n_files": n_files,
+            "throughput_mb_s": round(data_size / (1024 * 1024 * wall), 3)
+            if wall > 0
+            else None,
+            "speed_factor": round(data_size / (1024 * 1024 * n_files), 4)
+            if n_files
+            else None,
         }
         with open(mpath, "w") as f:
             json.dump(manifest, f, indent=1)

@@ -82,8 +82,24 @@ _SQL_SHINGLED = f"""
 """
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive in fewer splits than the session has
+    cores, serializing the CPU-bound shingle/tokenize work that runs
+    before the first shuffle.  Spread them (same rule as
+    plans.pipeline.signatures_stage); on a well-partitioned production
+    table this is a no-op."""
+    from destor_spark.plans.pipeline import _estimated_splits
+
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if len(files) < want and _estimated_splits(spark, files) < want:
+        return df.repartition(want)
+    return df
+
+
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", _tokens(F.col("text")).alias("w")
     )
     return d.filter(F.size("w") >= K).select(
@@ -154,7 +170,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > DF_CAP)
         .select("s")
     )
-    e = e0.join(F.broadcast(hot), "s", "left_anti")
+    # barrier: e is consumed 3x below (sizes + both join sides); without
+    # it each consumer re-runs the scan+tokenize+shingle lineage
+    e = _barrier(e0.join(F.broadcast(hot), "s", "left_anti"), "ngram_e")
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         e.alias("a")
@@ -1070,7 +1088,8 @@ def q_champion_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > DF_CAP)
         .select("s")
     )
-    e = e0.join(F.broadcast(hot), "s", "left_anti")
+    # barrier: greedy_champions joins e against itself
+    e = _barrier(e0.join(F.broadcast(hot), "s", "left_anti"), "champ_e")
     return greedy_champions(e, None, k=3)
 
 
@@ -1119,6 +1138,151 @@ UNION ALL
 SELECT q, CAST(2 AS INTEGER), cand, n_hits FROM p2
 UNION ALL
 SELECT q, CAST(3 AS INTEGER), cand, n_hits FROM p3
+"""
+
+
+CFL_CONTAINER_BYTES = 65_536
+
+
+def q_cfl_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """destor's CFL (chunk-fragmentation level) monitor, SURVEY A5
+    (/root/reference/src/restore_aware.c:12-68): ocf = containers the
+    restored bytes would OPTIMALLY fill = ceil(total_size / C); ccf =
+    containers actually FETCHED; cfl = min(1, ocf/ccf).  Restatement
+    for the document store: canonicals (min doc_id per content hash)
+    are byte-packed into C-sized containers per source shard in doc_id
+    order (a running-sum window PER SOURCE — distributed, no global
+    sort); every doc fetches its canonical's container; ccf counts
+    distinct (source, container) fetched, destor's infinite-cache
+    variant (the LRU-bounded ccf is the streaming extension —
+    restore_aware.c simulates the cache during backup, stateful by
+    construction)."""
+    d = _t(spark, sf_dir, "documents")
+    canon = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("canon_id"),
+            # min, not first: deterministic when one hash spans sources
+            F.min("source").alias("source"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("canon_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = canon.select(
+        "h",
+        "source",
+        F.floor(
+            (F.sum("n_chars").over(w) - F.col("n_chars"))
+            / F.lit(CFL_CONTAINER_BYTES)
+        ).alias("container"),
+    )
+    refs = d.select(F.md5("text").alias("h"), F.col("n_chars").alias("b"))
+    joined = refs.join(packed, "h")
+    return joined.agg(
+        F.sum("b").alias("total_restored_bytes"),
+        F.floor(
+            (F.sum("b") + F.lit(CFL_CONTAINER_BYTES - 1))
+            / F.lit(CFL_CONTAINER_BYTES)
+        ).alias("ocf"),
+        F.countDistinct("source", "container").alias("ccf"),
+    ).select(
+        "total_restored_bytes",
+        "ocf",
+        "ccf",
+        F.least(
+            F.lit(1_000_000),
+            F.round(F.lit(1_000_000) * F.col("ocf") / F.col("ccf")).cast(
+                "bigint"
+            ),
+        ).alias("cfl_ppm"),
+    )
+
+
+SQL_CFL_MONITOR = f"""
+WITH canon AS (
+  SELECT md5(text) AS h, min(doc_id) AS canon_id,
+         min(source) AS source, min(n_chars) AS n_chars
+  FROM documents GROUP BY md5(text)),
+packed AS (
+  SELECT h, source,
+         CAST(floor((sum(n_chars) OVER (PARTITION BY source
+                     ORDER BY canon_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_chars) / {CFL_CONTAINER_BYTES}) AS BIGINT) AS container
+  FROM canon),
+agg AS (
+  SELECT CAST(sum(r.b) AS BIGINT) AS total_restored_bytes,
+         CAST(floor((sum(r.b) + {CFL_CONTAINER_BYTES - 1}) /
+              {CFL_CONTAINER_BYTES}) AS BIGINT) AS ocf,
+         count(DISTINCT (p.source, p.container)) AS ccf
+  FROM (SELECT md5(text) AS h, n_chars AS b FROM documents) r
+  JOIN packed p USING (h))
+SELECT total_restored_bytes, ocf, ccf,
+       least(1000000, CAST(round(1000000.0 * ocf / ccf) AS BIGINT)) AS cfl_ppm
+FROM agg
+"""
+
+
+UNIFORM_STRIDE = 4
+
+
+def q_uniform_sample_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """destor's UNIFORM sampling (SURVEY F4): the feature set is every
+    STRIDE-th POSITION of the doc's shingle sequence — positional, not
+    the distinct-set minimum sampling of MinHash
+    (/root/reference/src/index/sampling_method.c:78-109 samples every
+    j-th fingerprint of the segment in arrival order).  The sampled
+    features are folded to one md5 fingerprint per doc; identical list
+    semantics in the DuckDB oracle."""
+    d = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", _tokens(F.col("text")).alias("w")
+    )
+    sh = d.filter(F.size("w") >= K).select(
+        "doc_id",
+        # positional shingle sequence (NO array_distinct — order and
+        # multiplicity are the point of uniform sampling)
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - F.lit(K - 1)),
+            lambda i: F.array_join(F.slice(F.col("w"), i, K), " "),
+        ).alias("sh"),
+    )
+    sampled = sh.select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                "sh",
+                lambda x, i: F.when(i % UNIFORM_STRIDE == 0, x),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("fs"),
+    )
+    return sampled.select(
+        "doc_id",
+        F.size("fs").alias("n_features"),
+        F.md5(F.array_join("fs", "|")).alias("fingerprint"),
+    )
+
+
+SQL_UNIFORM_SAMPLE_FINGERPRINT = f"""
+WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
+           FROM documents),
+s AS (SELECT doc_id,
+             list_transform(range(1, greatest(len(w)-{K-1},0)+1),
+                            i -> array_to_string(w[i:i+{K-1}], ' ')) AS sh
+      FROM d WHERE len(w) >= {K}),
+f AS (SELECT doc_id,
+             list_filter(list_transform(range(1, len(sh)+1),
+                         i -> CASE WHEN (i-1) % {UNIFORM_STRIDE} = 0
+                              THEN sh[i] END),
+                         x -> x IS NOT NULL) AS fs
+      FROM s)
+SELECT doc_id, len(fs) AS n_features,
+       md5(array_to_string(fs, '|')) AS fingerprint
+FROM f
 """
 
 
@@ -1188,6 +1352,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "srp_ann_topk": q_srp_ann_topk,
     "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
     "champion_segments": q_champion_segments,
+    "uniform_sample_fingerprint": q_uniform_sample_fingerprint,
+    "cfl_monitor": q_cfl_monitor,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1215,6 +1381,8 @@ ORACLE_SQL: dict[str, str] = {
     "purchasers_no_errors": SQL_PURCHASERS_NO_ERRORS,
     "value_quantiles": SQL_VALUE_QUANTILES,
     "champion_segments": SQL_CHAMPION_SEGMENTS,
+    "uniform_sample_fingerprint": SQL_UNIFORM_SAMPLE_FINGERPRINT,
+    "cfl_monitor": SQL_CFL_MONITOR,
     # bucketed near-dup: same oracle as brute force — on the planted
     # corpus the two are deterministically equal (see the query doc)
     "embedding_near_dup_bucketed": SQL_EMBEDDING_NEAR_DUP_PAIRS,
