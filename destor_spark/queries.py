@@ -83,17 +83,15 @@ _SQL_SHINGLED = f"""
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Small-file inputs arrive in fewer splits than the session has
-    cores, serializing the CPU-bound shingle/tokenize work that runs
-    before the first shuffle.  Spread them (same rule as
-    plans.pipeline.signatures_stage); on a well-partitioned production
-    table this is a no-op."""
-    from destor_spark.plans.pipeline import _estimated_splits
-
+    """Few-file inputs serialize the CPU-bound shingle/tokenize work
+    that runs before the first shuffle (parquet splits are row-group-
+    aligned, so byte-count split estimates are fiction — see the
+    measured A/B in plans.pipeline.signatures_stage).  Same file-count
+    gate: repartition when files < cores; no-op on a well-partitioned
+    production table."""
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if len(files) < want and _estimated_splits(spark, files) < want:
+    if len(df.inputFiles()) < want:
         return df.repartition(want)
     return df
 

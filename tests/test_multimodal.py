@@ -46,3 +46,64 @@ def test_exact_media_dedup(spark):
     assert len(dups) == 1
     assert dups[0]["copies"] == 3
     assert dups[0]["canonical_media_id"] == 0
+
+
+# --- golden tests over REAL media payloads (committed fixtures) ------
+
+import hashlib
+import pathlib
+
+import pytest
+
+from destor_spark.operators.multimodal import sniff_media, with_media_metadata
+
+MEDIA_FIX = pathlib.Path(__file__).parent / "fixtures" / "media"
+
+# (file, sha256, mime, width, height, duration_ms) — hand-audited:
+# tiny.png is a decodable 2x3 RGB PNG built chunk-by-chunk, dot.gif a
+# valid 1x1 GIF89a, tone.wav 50 ms of 8 kHz mono 16-bit audio written
+# by the stdlib wave module, header_only.jpg a JFIF+SOF0 marker stream
+GOLDEN = [
+    ("tiny.png", "448fe5451f1b457d", "image/png", 2, 3, None),
+    ("dot.gif", "6c63cc5063ac82d8", "image/gif", 1, 1, None),
+    ("header_only.jpg", "8b98ed10df55a2d9", "image/jpeg", 10, 7, None),
+    ("tone.wav", "5d6c198ef4804bcd", "audio/wav", None, None, 50),
+]
+
+
+@pytest.mark.parametrize("name,sha16,mime,w,h,dur", GOLDEN)
+def test_sniff_real_payload_golden(name, sha16, mime, w, h, dur):
+    b = (MEDIA_FIX / name).read_bytes()
+    assert hashlib.sha256(b).hexdigest()[:16] == sha16  # fixture pinned
+    assert sniff_media(b) == (mime, w, h, dur)
+
+
+def test_media_metadata_through_spark(spark):
+    """The real header sniffing runs through the Arrow mapInPandas
+    plumbing: typed metadata columns filled from real payload bytes."""
+    rows = [
+        (i, "image" if n.endswith((".png", ".gif", ".jpg")) else "audio",
+         (MEDIA_FIX / n).read_bytes(), None, None, None, None)
+        for i, (n, *_rest) in enumerate(GOLDEN)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in with_media_metadata(df).collect()}
+    for i, (_n, _s, mime, w, h, dur) in enumerate(GOLDEN):
+        r = got[i]
+        assert (r["mime"], r["width"], r["height"], r["duration_ms"]) == (
+            mime, w, h, dur,
+        )
+
+
+def test_real_payload_feature_contract(spark):
+    """extract_features over a REAL image payload: sha256 of the actual
+    bytes, stable feature dim — the contract a codec-backed decode must
+    preserve (the stub branch is documented; HAVE_PIL flips it)."""
+    b = (MEDIA_FIX / "tiny.png").read_bytes()
+    df = spark.createDataFrame(
+        [(1, "image", b, "image/png", 2, 3, None)], MEDIA_SCHEMA
+    )
+    r = extract_features(df).collect()[0]
+    assert r["payload_sha"] == hashlib.sha256(b).hexdigest()
+    assert r["n_bytes"] == len(b)
+    assert len(r["feature"]) == 8
