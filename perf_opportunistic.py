@@ -63,28 +63,44 @@ def main() -> None:
             print(f"degraded ({frac:.2f}), sleeping 120s", flush=True)
             time.sleep(120)
             continue
+        # Alternate which leg runs first: the host's degradation phases
+        # are minutes-long, so a fixed low-then-high order systematically
+        # lands the HIGH leg deeper into a decaying window (observed:
+        # six r3 pairs, every slow probe_end on the high leg).  The
+        # min-per-leg protocol needs both legs sampled in the fresh
+        # position.
+        first_low = int(time.time() // 60) % 2 == 0
+        order = (
+            (CORES_LOW, CORES_HIGH) if first_low else (CORES_HIGH, CORES_LOW)
+        )
         pair = {
             "t": time.strftime("%H:%M:%S"),
             "cores": [CORES_LOW, CORES_HIGH],
+            "order": list(order),
             "probe0": round(frac, 3),
         }
-        r8 = one_run(CORES_LOW, path)
+        walls = {}
+        ra = one_run(order[0], path)
         p1 = probe()
         if p1 > best:
             best = p1
             save_best_probe(p1)
-        pair[f"wall_{CORES_LOW}"] = r8["wall"]
+        walls[order[0]] = ra["wall"]
+        pair[f"wall_{order[0]}"] = ra["wall"]
         pair["probe_mid"] = round(p1 / best, 3)
-        r32 = one_run(CORES_HIGH, path)
+        rb = one_run(order[1], path)
         p2 = probe()
         if p2 > best:
             best = p2
             save_best_probe(p2)
-        pair[f"wall_{CORES_HIGH}"] = r32["wall"]
+        walls[order[1]] = rb["wall"]
+        pair[f"wall_{order[1]}"] = rb["wall"]
         pair["probe_end"] = round(p2 / best, 3)
         pair["n_docs"] = N_DOCS
-        pair["speedup"] = round(r8["wall"] / r32["wall"], 2)
-        pair["eff"] = round(r8["wall"] / r32["wall"] / (CORES_HIGH / CORES_LOW), 3)
+        pair["speedup"] = round(walls[CORES_LOW] / walls[CORES_HIGH], 2)
+        pair["eff"] = round(
+            walls[CORES_LOW] / walls[CORES_HIGH] / (CORES_HIGH / CORES_LOW), 3
+        )
         with open(OUT, "a") as f:
             f.write(json.dumps(pair) + "\n")
         print(json.dumps(pair), flush=True)
