@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_pipeline_assignments",
     # r3 additions
     "grouping_sets_events",
+    "uniform_sample_fingerprint",
+    "cfl_monitor",
 ]
 
 

@@ -98,7 +98,13 @@ def _mat_root(spark: SparkSession) -> str:
     return root
 
 
-def signatures_stage(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+def signatures_stage(
+    pages: DataFrame, cfg: DedupConfig, with_sha: bool = False
+) -> DataFrame:
+    """with_sha=True additionally computes content_sha in the SAME text
+    scan (sha2 is JVM codegen alongside tokenize), so the exact pass
+    needs no second pass over the raw text — at 100 TB that second
+    scan is the single largest avoidable IO in the job."""
     keyed = pages.select("url", "warc_ts", "text")
     # the Arrow UDF is the CPU-bound stage: if the input arrives in
     # fewer FILES than the cluster has slots (small local files, or a
@@ -120,6 +126,8 @@ def signatures_stage(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
     want = spark.sparkContext.defaultParallelism * 2
     if len(keyed.inputFiles()) < want:
         keyed = keyed.repartition(want)
+    if with_sha:
+        keyed = exact_op.with_content_hash(keyed)
     toks = shingles_op.with_token_hashes(keyed)
     return minhash_op.with_signatures(toks.drop("text"), cfg)
 
@@ -139,19 +147,18 @@ def run_pipeline(
     # barriers.
     root = _mat_root(pages.sparkSession)
 
-    # Exact pass: exact_pairs self-joins its input, and the raw-text
-    # scan + sha2 would run once PER JOIN SIDE — barrier the tiny
-    # (url, warc_ts, content_sha) projection first so text is scanned
-    # and hashed exactly once here.
-    hashed = _materialize(
-        exact_op.with_content_hash(pages.select("url", "warc_ts", "text")).drop(
-            "text"
-        ),
-        "hashed",
-        root,
+    # ONE text scan for the whole job: content_sha (exact pass) is
+    # computed in the same pass as tokenize + signatures (JVM sha2
+    # beside the Arrow UDF), and the sigs barrier then feeds both the
+    # exact self-join and every LSH/simhash consumer.  Before r3 the
+    # exact pass had its own barrier and its own full scan of the raw
+    # text — at 100 TB the single largest avoidable IO.
+    sigs = _materialize(
+        signatures_stage(pages, cfg, with_sha=True), "sigs", root
     )
-    exact_edges = exact_op.exact_pairs(hashed)
-    sigs = _materialize(signatures_stage(pages, cfg), "sigs", root)
+    exact_edges = exact_op.exact_pairs(
+        sigs.select("url", "warc_ts", "content_sha")
+    )
     pairs, bucket_stats = lsh_op.candidate_pairs(sigs, cfg)
     pairs = _materialize(pairs, "pairs", root)
     verified = _materialize(verify_op.verify_pairs(pairs, sigs, cfg), "verified", root)
@@ -200,18 +207,17 @@ def run_checkpointed(
     complete one (destor recipe semantics)."""
     sr = StageRunner(spark, ckpt_dir, run_id)
 
-    sigs = sr.run("signatures", lambda: signatures_stage(pages, cfg))
-    # content-hash projection checkpointed first: exact_pairs self-joins
-    # its input, so deriving it straight from pages would scan + sha2
-    # the raw text once per join side.
-    hashed = sr.run(
-        "content_hashes",
-        lambda: exact_op.with_content_hash(
-            pages.select("url", "warc_ts", "text")
-        ).drop("text"),
+    # ONE text scan: content_sha rides in the signature stage (see
+    # signatures_stage docstring); the checkpointed sigs table then
+    # feeds the exact self-join without re-reading raw text.
+    sigs = sr.run(
+        "signatures", lambda: signatures_stage(pages, cfg, with_sha=True)
     )
     exact_edges = sr.run(
-        "exact_edges", lambda: exact_op.exact_pairs(hashed)
+        "exact_edges",
+        lambda: exact_op.exact_pairs(
+            sigs.select("url", "warc_ts", "content_sha")
+        ),
     )
     pairs = sr.run(
         "candidate_pairs", lambda: lsh_op.candidate_pairs(sigs, cfg)[0]

@@ -51,9 +51,10 @@ def test_metrics_lineage(spark, cfg, smoke_corpus, ckpt_dir):
         for line in open(os.path.join(ckpt_dir, "metrics.jsonl"))
     ]
     stages = [m["stage"] for m in metrics]
+    # content_hashes no longer a separate stage: sha2 rides in the
+    # signatures text scan (r3 single-scan fusion)
     assert stages == [
         "signatures",
-        "content_hashes",
         "exact_edges",
         "candidate_pairs",
         "bucket_stats",
