@@ -53,3 +53,44 @@ def test_ann_broadcast_no_shuffle(spark):
     q = brute_force_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
     plan = _plan(q)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_champion_plan_shape(spark):
+    """Champion selection is one feature join + one repartition(q) +
+    one python map stage — no per-rank re-aggregation, no broadcast of
+    a corpus-sized query list."""
+    from destor_spark.queries import q_champion_segments
+
+    plan = _plan(q_champion_segments(spark, SF))
+    assert "MapInPandas" in plan
+    # one exchange introduced by repartition("q") + the feature join's
+    # exchanges; crucially NO iterative chain of k aggregates
+    assert plan.count("MapInPandas") == 1
+
+
+def test_cfl_window_is_partitioned(spark):
+    """The container-packing window runs per source shard — a global
+    (empty partitionBy) running sum would serialize 10^12 canonicals
+    through one task."""
+    from destor_spark.queries import q_cfl_monitor
+
+    plan = _plan(q_cfl_monitor(spark, SF))
+    assert "partitionBy" not in plan  # physical plan spells it Window [...]
+    assert "windowspecdefinition(source" in plan.lower().replace(" ", "").replace(
+        "#", ""
+    ) or "source" in plan.split("Window")[1][:200]
+
+
+def test_single_text_scan_in_pipeline(spark, cfg, tmp_path):
+    """r3 fusion: the signature stage computes content_sha in the same
+    scan (sha2 present in the signature plan), so the exact pass needs
+    no second text scan."""
+    from destor_spark.plans.pipeline import signatures_stage
+    from destor_spark.synth import make_corpus
+
+    p = str(tmp_path / "pages2.parquet")
+    make_corpus(3, 50)[0].to_parquet(p, index=False)
+    pages = spark.read.parquet(p)
+    plan = _plan(signatures_stage(pages, cfg, with_sha=True))
+    assert "sha2" in plan
+    assert "html" not in plan
