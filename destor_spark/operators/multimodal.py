@@ -69,22 +69,42 @@ def sniff_media(payload: bytes | None) -> tuple[str, int | None, int | None, int
     """
     import struct
 
+    def _i32(v: int | None) -> int | None:
+        # adversarial headers carry raw uint32 values (PNG width
+        # 3e9, WAV duration ~4e12 ms with byte_rate=1); out-of-range
+        # values would make pd.array(dtype='Int32') raise and fail the
+        # whole mapInPandas batch — clamp to "unknown" instead.
+        return v if v is not None and 0 <= v <= 0x7FFFFFFF else None
+
     if not payload:
         return ("application/octet-stream", None, None, None)
     b = bytes(payload)
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
         w, h = struct.unpack(">II", b[16:24])
-        return ("image/png", w, h, None)
+        return ("image/png", _i32(w), _i32(h), None)
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
-        return ("image/gif", w, h, None)
+        return ("image/gif", _i32(w), _i32(h), None)
     if b[:2] == b"\xff\xd8":
         i = 2
-        while i + 9 < len(b) and b[i] == 0xFF:
-            marker, seglen = b[i + 1], struct.unpack(">H", b[i + 2 : i + 4])[0]
-            if marker in (0xC0, 0xC1, 0xC2):
+        while i + 1 < len(b):
+            if b[i] != 0xFF:
+                break  # desynced from the marker stream
+            # consume 0xFF fill/padding bytes before the marker id
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone marker: no length field
+                continue
+            if i + 4 > len(b):
+                break
+            seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if seglen < 2:
+                break  # malformed length would mis-advance the walk
+            if marker in (0xC0, 0xC1, 0xC2) and i + 9 <= len(b):
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
-                return ("image/jpeg", w, h, None)
+                return ("image/jpeg", _i32(w), _i32(h), None)
             i += 2 + seglen
         return ("image/jpeg", None, None, None)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -98,7 +118,7 @@ def sniff_media(payload: bytes | None) -> tuple[str, int | None, int | None, int
                 data_size = clen
             i += 8 + clen + (clen & 1)
         dur = (
-            int(round(1000 * data_size / byte_rate))
+            _i32(int(round(1000 * data_size / byte_rate)))
             if byte_rate and data_size is not None
             else None
         )
@@ -110,10 +130,18 @@ def with_media_metadata(media: DataFrame) -> DataFrame:
     """Fill mime/width/height/duration_ms from the payload headers via
     one Arrow-batched mapInPandas pass (schema = MEDIA_SCHEMA)."""
 
+    def _sniff_safe(p):
+        # one adversarial payload must downgrade one ROW, not fail the
+        # whole Arrow batch (same belt-and-braces as the HTML extractor)
+        try:
+            return sniff_media(p)
+        except Exception:
+            return ("application/octet-stream", None, None, None)
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [
-                sniff_media(p) for p in pdf["payload"]
+                _sniff_safe(p) for p in pdf["payload"]
             ]
             out = pdf.copy()
             out["mime"] = [m[0] for m in metas]

@@ -42,11 +42,24 @@ class StageRunner:
         with open(mpath) as f:
             return json.load(f).get("status") == "complete"
 
-    def run(self, stage: str, fn, repartition: int | None = None) -> DataFrame:
-        """fn() -> DataFrame; materialized once, loaded on resume."""
+    def run(
+        self,
+        stage: str,
+        fn,
+        repartition: int | None = None,
+        required_cols: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """fn() -> DataFrame; materialized once, loaded on resume.
+
+        required_cols guards resume across code versions: a checkpoint
+        written by an older layout (e.g. a signatures stage from before
+        content_sha rode in the same scan) loads fine but breaks the
+        FIRST downstream select — recompute it instead of resuming."""
         data_dir, mpath = self._paths(stage)
         if self.completed(stage):
-            return self.spark.read.parquet(data_dir)
+            out = self.spark.read.parquet(data_dir)
+            if set(required_cols) <= set(out.columns):
+                return out
         t0 = time.time()
         df = fn()
         if repartition:

@@ -211,7 +211,12 @@ def run_checkpointed(
     # signatures_stage docstring); the checkpointed sigs table then
     # feeds the exact self-join without re-reading raw text.
     sigs = sr.run(
-        "signatures", lambda: signatures_stage(pages, cfg, with_sha=True)
+        "signatures",
+        lambda: signatures_stage(pages, cfg, with_sha=True),
+        # pre-r3 checkpoints have a complete signatures stage WITHOUT
+        # content_sha (it lived in a separate content_hashes stage);
+        # resuming one would fail at the exact pass's select below
+        required_cols=("url", "warc_ts", "content_sha"),
     )
     exact_edges = sr.run(
         "exact_edges",

@@ -53,8 +53,15 @@ def read_trace(spark: SparkSession, path: str) -> DataFrame:
 
     fp is hex (32 chars).  One mapInPandas pass; each input file is
     one Arrow row from the binaryFile source, unpacked with vectorized
-    numpy (no per-record Python loop).
+    numpy — the hex encode is a nibble-LUT gather over the whole
+    buffer, no per-record Python loop.
+
+    Size cap: the binaryFile source delivers each file as ONE row, so
+    a single trace file must stay under Spark's ~2 GB byte-array row
+    limit (~100M records).  Shard larger traces into multiple files —
+    the reader takes a directory/glob and parallelizes per file.
     """
+    _LUT = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
 
     def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -66,7 +73,7 @@ def read_trace(spark: SparkSession, path: str) -> DataFrame:
                 if len(body) % RECORD:
                     raise ValueError(f"truncated trace {fname}")
                 arr = np.frombuffer(body, dtype=np.uint8).reshape(-1, RECORD)
-                digests = arr[:, :16]
+                digests = np.ascontiguousarray(arr[:, :16])
                 sizes = (
                     arr[:, 16:20]
                     .copy()
@@ -74,7 +81,16 @@ def read_trace(spark: SparkSession, path: str) -> DataFrame:
                     .reshape(-1)
                     .astype(np.int64)
                 )
-                hexes = [d.tobytes().hex() for d in digests]
+                # vectorized hex: per-nibble LUT gather, then view the
+                # (n, 32) char matrix as one fixed-width bytes column
+                flat = digests.reshape(-1)
+                chars = np.empty((flat.size, 2), dtype=np.uint8)
+                chars[:, 0] = _LUT[flat >> 4]
+                chars[:, 1] = _LUT[flat & 0xF]
+                hexes = (
+                    chars.reshape(-1, 32).view("S32").reshape(-1)
+                )
+                hexes = pd.Series(hexes).str.decode("ascii")
                 yield pd.DataFrame(
                     {
                         "trace_file": fname,

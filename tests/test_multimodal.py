@@ -107,3 +107,67 @@ def test_real_payload_feature_contract(spark):
     assert r["payload_sha"] == hashlib.sha256(b).hexdigest()
     assert r["n_bytes"] == len(b)
     assert len(r["feature"]) == 8
+
+
+def test_sniff_adversarial_headers_clamp_to_none():
+    """Raw uint32 header fields outside Int32 must sniff as unknown, not
+    poison the Arrow batch (pd.array Int32 'cannot safely cast')."""
+    import struct
+
+    # PNG claiming width 3,000,000,000
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(
+        ">II", 3_000_000_000, 7
+    ) + b"\x08\x02\x00\x00\x00"
+    assert sniff_media(png) == ("image/png", None, 7, None)
+
+    # WAV with byte_rate=1 and data_size=0xFFFFFFF0 -> ~4e12 ms duration
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 1, 1, 8
+    )
+    data = b"data" + struct.pack("<I", 0xFFFFFFF0)
+    wav = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + fmt + data
+    assert sniff_media(wav) == ("audio/wav", None, None, None)
+
+
+def test_sniff_jpeg_fill_bytes_and_standalone_markers():
+    """0xFF padding and length-less RST/SOI markers must not desync the
+    marker walk; seglen < 2 must bail instead of mis-advancing."""
+    import struct
+
+    def seg(marker, body=b""):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof0 = seg(0xC0, b"\x08" + struct.pack(">HH", 7, 10) + b"\x03")
+    # fill bytes before APP0, a standalone RST marker, then SOF0
+    jpg = (
+        b"\xff\xd8" + b"\xff\xff\xff" + seg(0xE0, b"JFIF\x00")
+        + b"\xff\xd0" + sof0 + b"\xff\xd9"
+    )
+    assert sniff_media(jpg) == ("image/jpeg", 10, 7, None)
+
+    # malformed seglen=0 would loop/mis-advance: must bail to unknown
+    bad = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 0) + b"junk"
+    assert sniff_media(bad) == ("image/jpeg", None, None, None)
+
+
+def test_metadata_stage_survives_adversarial_batch(spark):
+    """One corrupt payload downgrades its row, not the whole stage."""
+    import struct
+
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(
+        ">II", 3_000_000_000, 3_000_000_000
+    ) + b"\x08"
+    good = (MEDIA_FIX / "dot.gif").read_bytes()
+    df = spark.createDataFrame(
+        [
+            (1, "image", bad_png, None, None, None, None),
+            (2, "image", good, None, None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in with_media_metadata(df).collect()}
+    assert got[1]["mime"] == "image/png"
+    assert got[1]["width"] is None and got[1]["height"] is None
+    assert (got[2]["mime"], got[2]["width"], got[2]["height"]) == (
+        "image/gif", 1, 1,
+    )

@@ -76,9 +76,11 @@ def test_cfl_window_is_partitioned(spark):
 
     plan = _plan(q_cfl_monitor(spark, SF))
     assert "partitionBy" not in plan  # physical plan spells it Window [...]
-    assert "windowspecdefinition(source" in plan.lower().replace(" ", "").replace(
-        "#", ""
-    ) or "source" in plan.split("Window")[1][:200]
+    # the normalized form is unambiguous: a windowspecdefinition whose
+    # partition expression list STARTS with `source` (a global window
+    # would spell windowspecdefinition(canon_id... with no partition key)
+    norm = plan.lower().replace(" ", "").replace("#", "")
+    assert "windowspecdefinition(source" in norm
 
 
 def test_single_text_scan_in_pipeline(spark, cfg, tmp_path):

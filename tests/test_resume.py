@@ -69,3 +69,32 @@ def test_metrics_lineage(spark, cfg, smoke_corpus, ckpt_dir):
     with open(os.path.join(ckpt_dir, "signatures.manifest.json")) as f:
         man = json.load(f)
     assert sum(man["partition_rows"].values()) == man["rows"] == len(pages_pd)
+
+
+def test_resume_recomputes_old_layout_signatures(spark, cfg, smoke_corpus,
+                                                 ckpt_dir):
+    """A checkpoint whose signatures stage predates the fused
+    content_sha layout must be recomputed on resume, not loaded and
+    crashed into at the exact pass's select (AnalysisException)."""
+    pages_pd, _ = smoke_corpus
+    pages = spark.createDataFrame(pages_pd)
+
+    fresh = _assign_pdf(
+        run_checkpointed(spark, pages, cfg, ckpt_dir + "_f2", "rD")
+    )
+
+    # simulate the pre-r3 layout: complete signatures stage WITHOUT
+    # content_sha, all later stages absent
+    run_checkpointed(spark, pages, cfg, ckpt_dir, "rE")
+    sig_dir = os.path.join(ckpt_dir, "signatures")
+    old = spark.read.parquet(sig_dir).drop("content_sha")
+    old.write.mode("overwrite").parquet(sig_dir + "_old")
+    shutil.rmtree(sig_dir)
+    os.rename(sig_dir + "_old", sig_dir)
+    for stage in ("exact_edges", "candidate_pairs", "bucket_stats",
+                  "verified_pairs", "edges", "components", "assignments"):
+        os.remove(os.path.join(ckpt_dir, f"{stage}.manifest.json"))
+        shutil.rmtree(os.path.join(ckpt_dir, stage))
+
+    resumed = _assign_pdf(run_checkpointed(spark, pages, cfg, ckpt_dir, "rF"))
+    pd.testing.assert_frame_equal(fresh, resumed, check_dtype=False)
