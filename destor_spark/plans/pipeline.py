@@ -82,9 +82,7 @@ _SESSION_ROOTS: dict[str, str] = {}
 _RUN_IDS = itertools.count()
 
 
-def _mat_root(spark: SparkSession) -> str:
-    """Per-run barrier dir under ONE base dir per SparkSession (removed
-    at interpreter exit; individual runs via PipelineResult.cleanup())."""
+def _session_base(spark: SparkSession) -> str:
     app_id = spark.sparkContext.applicationId
     base = _SESSION_ROOTS.get(app_id)
     if base is None:
@@ -93,7 +91,25 @@ def _mat_root(spark: SparkSession) -> str:
         )
         atexit.register(shutil.rmtree, base, ignore_errors=True)
         _SESSION_ROOTS[app_id] = base
-    root = os.path.join(base, f"run{next(_RUN_IDS)}")
+    return base
+
+
+def _mat_root(spark: SparkSession) -> str:
+    """Per-run barrier dir under ONE base dir per SparkSession (removed
+    at interpreter exit; individual runs via PipelineResult.cleanup())."""
+    root = os.path.join(_session_base(spark), f"run{next(_RUN_IDS)}")
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _query_mat_root(spark: SparkSession) -> str:
+    """Stable barrier dir for the driver-query surface: one fixed dir
+    per session, every barrier written mode=overwrite under its tag.
+    Unlike _mat_root's run{N} counter, repeated invocations of the same
+    query REUSE (and overwrite) the same path, so a long-lived driver
+    calling q_ngram_jaccard_pairs in a loop holds one barrier's worth
+    of disk per tag instead of accumulating run dirs until exit."""
+    root = os.path.join(_session_base(spark), "queries")
     os.makedirs(root, exist_ok=True)
     return root
 

@@ -50,12 +50,13 @@ def _barrier(df: DataFrame, tag: str) -> DataFrame:
     persist() of array<string>/array<bigint> columns goes through the
     per-element generic columnar-cache encoders on build AND every read;
     the parquet round-trip is ~2x faster both ways (measured, see
-    plans/pipeline._materialize).  Reuses the per-session materialize
-    root so repeated driver query invocations don't leak directories.
+    plans/pipeline._materialize).  Uses the session's stable per-tag
+    query root (overwrite-in-place), so repeated driver invocations of
+    the same query reuse one directory instead of leaking run dirs.
     """
-    from destor_spark.plans.pipeline import _materialize, _mat_root
+    from destor_spark.plans.pipeline import _materialize, _query_mat_root
 
-    return _materialize(df, tag, _mat_root(df.sparkSession))
+    return _materialize(df, tag, _query_mat_root(df.sparkSession))
 
 
 def _tokens(text):

@@ -96,3 +96,22 @@ def test_single_text_scan_in_pipeline(spark, cfg, tmp_path):
     plan = _plan(signatures_stage(pages, cfg, with_sha=True))
     assert "sha2" in plan
     assert "html" not in plan
+
+
+def test_query_barriers_do_not_accumulate_run_dirs(spark):
+    """Repeated driver-query invocations must reuse one barrier dir per
+    tag (overwrite-in-place), not allocate a fresh run{N} each call —
+    a long-lived driver would otherwise leak intermediates until exit."""
+    import os
+
+    from destor_spark.plans.pipeline import _session_base
+    from destor_spark.queries import q_ngram_jaccard_pairs
+
+    q_ngram_jaccard_pairs(spark, SF).count()
+    base = _session_base(spark)
+    before = sorted(os.listdir(base))
+    q_ngram_jaccard_pairs(spark, SF).count()
+    q_ngram_jaccard_pairs(spark, SF).count()
+    after = sorted(os.listdir(base))
+    assert after == before
+    assert "queries" in after
