@@ -144,3 +144,33 @@ def test_champion_segments_pinned_nonzero(spark):
     assert len(rows) == 58
     # this fixture's dup clusters are pairs: rank 3 never fills
     assert {r.rnk for r in rows} == {1, 2}
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_srp_driver_query_equals_brute(spark, sf):
+    """The driver's srp_ann_topk oracle (SQL_SRP_ANN_TOPK) is brute
+    force over the fixed 8-query list — valid ONLY while SRP recall for
+    those queries is exactly 1.0.  This gate fails before the driver's
+    hash compare would."""
+    import duckdb
+
+    import destor_spark.queries as Q
+
+    sp = (
+        Q.q_srp_ann_topk(spark, sf)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "create view embeddings as select * from "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    du = (
+        con.sql(Q.SQL_SRP_ANN_TOPK)
+        .df()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert sp[du.columns.tolist()].astype("int64").equals(du.astype("int64"))
