@@ -199,6 +199,7 @@ def exact_media_dedup(features: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("copies"),
             F.min("media_id").alias("canonical_media_id"),
+            F.min("n_bytes").alias("n_bytes"),
         )
         .filter(F.col("copies") >= 2)
     )

@@ -19,6 +19,8 @@ destor parity notes per query are in the builder docstrings.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1502,6 +1504,46 @@ SELECT query_id, rank, neighbor_id, msim FROM ranked WHERE rank <= 10
 """
 
 
+# Committed deterministic media table (synth.make_media_table): 40 rows,
+# 16 unique payloads with real PNG/GIF/WAV/mp4-ish headers, 12 dup
+# groups.  SF-independent by design — the media family's driver gate is
+# a fixture smoke test of the Arrow plumbing, not a scale query.
+_MEDIA_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "media_fixture.parquet"
+)
+
+
+def q_exact_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the media family: payloads -> extract_features
+    (the real mapInPandas Arrow stage: sha256 + size + feature sketch)
+    -> exact_media_dedup (whole-file dedup on content hash, destor
+    /root/reference/src/chunk_phase.c:160-170).  Output keeps the
+    SQL-portable columns; the oracle groups on BLOB equality, which is
+    exactly what the sha256 grouping implements."""
+    from destor_spark.operators.multimodal import (
+        exact_media_dedup,
+        extract_features,
+    )
+
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    dups = exact_media_dedup(extract_features(media))
+    return dups.select(
+        F.col("canonical_media_id").cast("bigint").alias("canonical_media_id"),
+        F.col("copies").cast("bigint").alias("copies"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+
+
+SQL_EXACT_MEDIA_DEDUP = f"""
+SELECT min(media_id) AS canonical_media_id,
+       count(*) AS copies,
+       min(octet_length(payload)) AS n_bytes
+FROM read_parquet('{_MEDIA_FIXTURE}')
+GROUP BY payload
+HAVING count(*) >= 2
+"""
+
+
 def q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via banded SRP buckets + cap/star pair
     generation + exact-cosine verify — the scale path.  On the planted
@@ -1551,6 +1593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "champion_segments": q_champion_segments,
     "uniform_sample_fingerprint": q_uniform_sample_fingerprint,
     "cfl_monitor": q_cfl_monitor,
+    "exact_media_dedup": q_exact_media_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1588,4 +1631,5 @@ ORACLE_SQL: dict[str, str] = {
     # here: SRP recall for these queries is deterministically 1.0 at
     # the driver SFs (gated by test_srp_driver_query_equals_brute)
     "srp_ann_topk": SQL_SRP_ANN_TOPK,
+    "exact_media_dedup": SQL_EXACT_MEDIA_DEDUP,
 }

@@ -254,3 +254,48 @@ def ensure_corpus(base_dir: str, seed: int, n_docs: int) -> tuple[str, str]:
         pages.to_parquet(pages_path, index=False, row_group_size=rg)
         truth.to_parquet(truth_path, index=False, row_group_size=rg)
     return pages_path, truth_path
+
+
+def make_media_table(seed: int = 7, n_unique: int = 16) -> pd.DataFrame:
+    """Deterministic media fixture: n_unique synthetic payloads with
+    REAL container headers (PNG/GIF/WAV + an opaque mp4-ish blob) over
+    seeded random bodies, replicated 1-4x so exact-dup groups exist.
+    Committed once as destor_spark/data/media_fixture.parquet (the
+    driver-gated media table); regeneration determinism is asserted in
+    tests/test_multimodal.py."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    payloads: list[tuple[str, bytes]] = []
+    for i in range(n_unique):
+        body = rng.integers(0, 256, size=200 + 40 * i, dtype=np.uint8).tobytes()
+        if i % 4 == 0:
+            p = (
+                b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+                + struct.pack(">II", 8 + i, 6 + i)
+                + b"\x08\x02\x00\x00\x00" + body
+            )
+            payloads.append(("image", p))
+        elif i % 4 == 1:
+            payloads.append(
+                ("image", b"GIF89a" + struct.pack("<HH", 4 + i, 3 + i) + body)
+            )
+        elif i % 4 == 2:
+            fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+                "<HHIIHH", 1, 1, 8000, 8000, 1, 8
+            )
+            data = b"data" + struct.pack("<I", len(body)) + body
+            p = (
+                b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+                + fmt + data
+            )
+            payloads.append(("audio", p))
+        else:
+            payloads.append(("video", b"\x00\x00\x00\x18ftypmp42" + body))
+    rows = []
+    mid = 0
+    for i, (kind, p) in enumerate(payloads):
+        for _ in range(1 + i % 4):  # 1..4 exact copies
+            rows.append((mid, kind, p))
+            mid += 1
+    return pd.DataFrame(rows, columns=["media_id", "kind", "payload"])

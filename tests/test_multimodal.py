@@ -171,3 +171,42 @@ def test_metadata_stage_survives_adversarial_batch(spark):
     assert (got[2]["mime"], got[2]["width"], got[2]["height"]) == (
         "image/gif", 1, 1,
     )
+
+
+def test_media_fixture_regenerates_deterministically():
+    """The committed media_fixture.parquet must equal a fresh
+    make_media_table() — the driver oracle depends on this file."""
+    import pandas as pd
+
+    from destor_spark.queries import _MEDIA_FIXTURE
+    from destor_spark.synth import make_media_table
+
+    committed = pd.read_parquet(_MEDIA_FIXTURE)
+    fresh = make_media_table()
+    committed["payload"] = committed["payload"].map(bytes)
+    fresh["payload"] = fresh["payload"].map(bytes)
+    pd.testing.assert_frame_equal(committed, fresh)
+
+
+def test_exact_media_dedup_matches_duckdb(spark):
+    """Driver-gate twin: the sha256 group-by equals BLOB-equality
+    group-by in DuckDB over the committed fixture."""
+    import duckdb
+    import pandas as pd
+
+    from destor_spark.queries import SQL_EXACT_MEDIA_DEDUP, q_exact_media_dedup
+
+    sp = (
+        q_exact_media_dedup(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values("canonical_media_id")
+        .reset_index(drop=True)
+    )
+    du = (
+        duckdb.sql(SQL_EXACT_MEDIA_DEDUP)
+        .df()
+        .sort_values("canonical_media_id")
+        .reset_index(drop=True)
+    )
+    assert len(sp) == 12
+    pd.testing.assert_frame_equal(sp[du.columns.tolist()], du, check_dtype=False)
