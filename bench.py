@@ -6,6 +6,16 @@ dedup pipeline at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]; print ONE JSON line
 {"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
+Protocol (r4): this sandbox is a shared VM whose effective capacity
+swings ~4x with host load, so a single-shot wall clock arbitrates
+nothing (the r3 driver bench read 2.45x slower than r2 on identical
+plans).  The suite therefore runs $SPARK_GRAFT_BENCH_REPEATS (default
+3) alternating rounds and reports the MIN wall per query — the
+least-interfered observation — plus a calibration probe before each
+round and after the last (bracketing), emitted as probe fractions of
+the session-best so the reading's cleanliness is auditable in the JSON
+itself.  Same protocol as perf_scaling.py, whose machinery this reuses.
+
 --scaling mode (north-rule evidence): run the SAME dedup job at
 local[8] and local[32] on the SAME synthesized corpus (two fresh JVMs,
 sequentially), report docs/sec at both + scaling efficiency
@@ -80,14 +90,22 @@ def _build(master: str, shuffle: int):
     )
 
 
-def run_dedup_pipeline(spark, pages_path: str) -> tuple[int, float]:
-    """Returns (n_docs, wall_sec) for the full dedup pipeline."""
+def run_dedup_pipeline(
+    spark, pages_path: str, use_substring: bool = False
+) -> tuple[int, float]:
+    """Returns (n_docs, wall_sec) for the full dedup pipeline.
+
+    use_substring=True adds the third modality (anchored-gram
+    candidates + vectorized exact-span verify) — benched separately so
+    its cost is visible next to the MinHash+SimHash baseline."""
     from destor_spark.config import DedupConfig
     from destor_spark.plans.pipeline import run_pipeline
 
     pages = spark.read.parquet(pages_path)
     t0 = time.time()
-    res = run_pipeline(pages, DedupConfig(), use_simhash=True)
+    res = run_pipeline(
+        pages, DedupConfig(), use_simhash=True, use_substring=use_substring
+    )
     n = res.assignments.count()
     return n, time.time() - t0
 
@@ -122,24 +140,54 @@ def bench_simhash_passes(spark, pages_path: str) -> dict[str, float]:
     return out
 
 
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _probe_frac() -> tuple[float, float]:
+    """(probe ops/s, fraction of session-best).  Reuses perf_scaling's
+    calibration probe + persisted best so bench and scaling runs share
+    one baseline."""
+    import perf_scaling as PS
+
+    p = PS.probe()
+    best = max(p, PS.load_best_probe())
+    PS.save_best_probe(best)
+    return p, round(p / best, 3)
+
+
 def default_bench() -> None:
     import destor_spark.queries as Q
 
     spark = _build(f"local[{CPUS}]", CPUS)
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = Q.QUERIES[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        per_query[name] = round(time.time() - t0, 3)
-
     n_docs = _N_BY_SF.get(_sf_label(SF_DIR), 5_000)
     pages_path = _corpus_path(n_docs)
-    n, wall = run_dedup_pipeline(spark, pages_path)
-    per_query["webpages_dedup_pipeline"] = round(wall, 3)
-    docs_per_sec = round(n / wall, 1)
-    per_query.update(bench_simhash_passes(spark, pages_path))
 
+    per_query: dict[str, float] = {}
+    dedup_n = 0
+    probes: list[float] = []
+    for _ in range(REPEATS):
+        probes.append(_probe_frac()[1])
+        for name in HEADLINE:
+            fn = Q.QUERIES[name]
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            wall = round(time.time() - t0, 3)
+            per_query[name] = min(per_query.get(name, wall), wall)
+        dedup_n, wall = run_dedup_pipeline(spark, pages_path)
+        wall = round(wall, 3)
+        per_query["webpages_dedup_pipeline"] = min(
+            per_query.get("webpages_dedup_pipeline", wall), wall
+        )
+        _, wall_ss = run_dedup_pipeline(spark, pages_path, use_substring=True)
+        wall_ss = round(wall_ss, 3)
+        per_query["webpages_dedup_pipeline_substring"] = min(
+            per_query.get("webpages_dedup_pipeline_substring", wall_ss), wall_ss
+        )
+        for k, v in bench_simhash_passes(spark, pages_path).items():
+            per_query[k] = min(per_query.get(k, v), v)
+    probes.append(_probe_frac()[1])
+
+    docs_per_sec = round(dedup_n / per_query["webpages_dedup_pipeline"], 1)
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -149,9 +197,11 @@ def default_bench() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": _sf_value(SF_DIR),
-                "dedup_docs": n,
+                "dedup_docs": dedup_n,
                 "dedup_docs_per_sec": docs_per_sec,
                 "cpus": CPUS,
+                "protocol": f"min-of-{REPEATS} alternating rounds",
+                "probe_fracs": probes,
             }
         )
     )

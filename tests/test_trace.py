@@ -75,3 +75,81 @@ def test_bad_magic_rejected(spark, tmp_path):
         f.write(b"NOPE!" + b"\0" * 40)
     with pytest.raises(Exception, match="bad trace magic|PythonException"):
         read_trace(spark, d).collect()
+
+
+def _mk_fsl_files(n_files: int, chunks_per: int, dup_every: int = 3):
+    files = []
+    for fi in range(n_files):
+        chunks = []
+        for ci in range(chunks_per):
+            base = ci // dup_every if ci % dup_every == 0 and ci > 0 else (
+                fi * 1000 + ci
+            )
+            chunks.append(
+                (hashlib.md5(f"fsl-{base}".encode()).digest(),
+                 1024 + (base % 5) * 256)
+            )
+        files.append((f"/data/f{fi}.bin", chunks))
+    return files
+
+
+def test_fsl_roundtrip_variable(spark, tmp_path):
+    from destor_spark.sources.trace import read_fsl_trace, write_fsl_hashfile
+
+    d = str(tmp_path / "fsl")
+    os.makedirs(d)
+    files = _mk_fsl_files(3, 40)
+    write_fsl_hashfile(os.path.join(d, "t.hash"), files, chunking="variable")
+
+    df = read_fsl_trace(spark, d).toPandas()
+    assert len(df) == 120
+    assert set(df["file_path"]) == {f"/data/f{i}.bin" for i in range(3)}
+    # every (path, fp, size) record round-trips exactly, in order
+    want = [
+        (p, dig.hex(), sz) for p, cs in files for dig, sz in cs
+    ]
+    got = list(zip(df["file_path"], df["fp"], df["size"]))
+    assert got == want
+
+
+def test_fsl_roundtrip_fixed(spark, tmp_path):
+    from destor_spark.sources.trace import read_fsl_trace, write_fsl_hashfile
+
+    d = str(tmp_path / "fslf")
+    os.makedirs(d)
+    files = _mk_fsl_files(2, 25)
+    write_fsl_hashfile(
+        os.path.join(d, "t.hash"), files, chunking="fixed",
+        fixed_chunk_size=8192,
+    )
+    df = read_fsl_trace(spark, d).toPandas()
+    assert len(df) == 50
+    # FIXED traces store no per-chunk sizes: all report chunk_size
+    assert (df["size"] == 8192).all()
+    assert [r for r in df["fp"]] == [d_.hex() for _, cs in files for d_, _ in cs]
+
+
+def test_fsl_replay_stats_parity(spark, tmp_path):
+    """Replaying an FSL trace yields the same dedup stats as an
+    independent per-record computation (trace_phase.c:96-142)."""
+    from destor_spark.sources.trace import read_fsl_trace, write_fsl_hashfile
+
+    d = str(tmp_path / "fslr")
+    os.makedirs(d)
+    files = _mk_fsl_files(4, 60, dup_every=2)
+    write_fsl_hashfile(os.path.join(d, "t.hash"), files)
+    got = replay_dedup_stats(read_fsl_trace(spark, d)).collect()[0]
+
+    sizes = {}
+    total, logical = 0, 0
+    for _, cs in files:
+        for dig, sz in cs:
+            sizes[dig] = sz
+            total += 1
+            logical += sz
+    stored = sum(sizes.values())
+    assert got["unique_chunks"] == len(sizes)
+    assert got["total_chunks"] == total
+    assert got["logical_bytes"] == logical
+    assert got["stored_bytes"] == stored
+    assert got["dedup_ratio_ppm"] == round(1_000_000 * logical / stored)
