@@ -16,6 +16,9 @@ sys.path.insert(0, REPO)
 
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
 CORES = int(os.environ.get("SPARK_GRAFT_STAGE_CORES", "32"))
+# shuffle partitions sized by CORES unless overridden: the 2M-doc
+# freeze diagnosis (BENCH.md r4) varies this independently of cores
+SHUFFLE = int(os.environ.get("SPARK_GRAFT_STAGE_SHUFFLE", str(CORES)))
 
 
 def main() -> None:
@@ -33,7 +36,7 @@ def main() -> None:
     from destor_spark.synth import ensure_corpus
 
     path, _ = ensure_corpus(os.path.join(REPO, ".bench_cache"), 42, N_DOCS)
-    spark = build_session(master=f"local[{CORES}]", shuffle_partitions=CORES)
+    spark = build_session(master=f"local[{CORES}]", shuffle_partitions=SHUFFLE)
     pages = spark.read.parquet(path)
     pages.count()  # warm
 
