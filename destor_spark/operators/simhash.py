@@ -29,12 +29,51 @@ filter while each table's key space grows from 2^16 to 2^40.
 
 from __future__ import annotations
 
+import dataclasses
 from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from destor_spark.config import DedupConfig
+
+# Crossover between the two candidate-index physical strategies,
+# expressed as expected docs per pigeonhole bucket (n_live / 2^width).
+# The pigeonhole's in-bucket all-pairs cost grows as occupancy^2 once
+# the 16-bit key space saturates: measured on the synthetic corpus
+# (BENCH.md r4 diagnosis), the simhash+edges stage is 35 s at 1M docs
+# (occupancy ~15, local[8]) but 866 s at 2M (occupancy ~30) with 121 s
+# GC pauses, and the 4M leg dies in-JVM — while the combo index (56
+# exploded rows/doc but 40-bit keys) stays linear: 2.4M candidates and
+# sub-second pauses at 2M.  Below the crossover the combo's constant
+# factor loses (4x at 1M); switch while all-pairs cost is still small.
+PIGEONHOLE_MAX_OCCUPANCY = 16
+AUTO_COMBO_BLOCKS = 8
+
+
+def auto_index_config(cfg: DedupConfig, n_live: int) -> DedupConfig:
+    """Pick the candidate-index physical strategy from corpus size.
+
+    Pair SEMANTICS are identical either way (both schemes are complete
+    filters over the same Hamming ball and the exact bit_count verify
+    runs after either — parity-gated in tests/test_simhash_combo.py);
+    only the bucket-join physics differ.  An explicit
+    cfg.simhash_combo_blocks (e.g. SCALE_CONFIG) is always respected;
+    combo_blocks == 0 means "auto": classic pigeonhole until the
+    expected per-bucket occupancy n_live / 2^width crosses
+    PIGEONHOLE_MAX_OCCUPANCY, the Manku combination index beyond.
+
+    destor analogue: index selection by expected scale is exactly the
+    DDFS-vs-sampled-index fork (/root/reference/src/index/index.c:16-59
+    picks the fingerprint index variant from config); here the engine
+    picks it from the measured corpus instead.
+    """
+    if cfg.simhash_combo_blocks:
+        return cfg
+    width = cfg.simhash_bits // cfg.simhash_blocks
+    if n_live <= PIGEONHOLE_MAX_OCCUPANCY * (1 << width):
+        return cfg
+    return dataclasses.replace(cfg, simhash_combo_blocks=AUTO_COMBO_BLOCKS)
 
 
 def combo_sets(cfg: DedupConfig) -> list[tuple[int, ...]]:

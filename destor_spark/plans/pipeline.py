@@ -23,6 +23,7 @@ import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from destor_spark.config import DedupConfig
 from destor_spark.operators import assign as assign_op
@@ -184,7 +185,12 @@ def run_pipeline(
         verified.select("url_a", "url_b"),
     ]
     if use_simhash:
-        edge_frames.append(simhash_op.simhash_pairs(sigs, cfg))
+        # one cheap count over the materialized barrier (n_shingles
+        # column only) picks the candidate-index physics; pair
+        # semantics identical either way (auto_index_config docstring)
+        n_live = sigs.filter(F.col("n_shingles") > 0).count()
+        sim_cfg = simhash_op.auto_index_config(cfg, n_live)
+        edge_frames.append(simhash_op.simhash_pairs(sigs, sim_cfg))
     if use_substring:
         edge_frames.append(
             substring_op.substring_pairs(
@@ -255,7 +261,9 @@ def run_checkpointed(
     def _edges() -> DataFrame:
         frames = [exact_edges, verified.select("url_a", "url_b")]
         if use_simhash:
-            frames.append(simhash_op.simhash_pairs(sigs, cfg))
+            n_live = sigs.filter(F.col("n_shingles") > 0).count()
+            sim_cfg = simhash_op.auto_index_config(cfg, n_live)
+            frames.append(simhash_op.simhash_pairs(sigs, sim_cfg))
         if use_substring:
             frames.append(
                 substring_op.substring_pairs(

@@ -64,3 +64,27 @@ def test_combo_config_validation():
         DedupConfig(simhash_combo_blocks=7)  # must divide 64
     with pytest.raises(ValueError):
         DedupConfig(simhash_combo_blocks=2)  # radius 3 >= blocks
+
+
+def test_auto_index_config_crossover():
+    """Pigeonhole below the measured occupancy crossover, combo above;
+    an explicit combo_blocks (SCALE_CONFIG) is always respected."""
+    from destor_spark.operators.simhash import (
+        AUTO_COMBO_BLOCKS,
+        PIGEONHOLE_MAX_OCCUPANCY,
+        auto_index_config,
+    )
+
+    cfg = DedupConfig()
+    edge = PIGEONHOLE_MAX_OCCUPANCY * (1 << (cfg.simhash_bits // cfg.simhash_blocks))
+    assert auto_index_config(cfg, edge).simhash_combo_blocks == 0
+    picked = auto_index_config(cfg, edge + 1)
+    assert picked.simhash_combo_blocks == AUTO_COMBO_BLOCKS
+    # only the index physics changed; every pair-semantics knob is intact
+    assert picked.simhash_bits == cfg.simhash_bits
+    assert picked.simhash_radius == cfg.simhash_radius
+    # explicit setting wins regardless of corpus size
+    explicit = DedupConfig(simhash_combo_blocks=8)
+    assert auto_index_config(explicit, 10).simhash_combo_blocks == 8
+    # original cfg is never mutated
+    assert cfg.simhash_combo_blocks == 0
