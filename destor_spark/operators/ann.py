@@ -123,8 +123,7 @@ def srp_sketch_udf(
     @pandas_udf(ArrayType(ArrayType(LongType())))
     def sketch(vecs: pd.Series) -> pd.Series:
         mat = np.asarray(vecs.tolist(), dtype=np.float64)
-        n = mat.shape[0]
-        out: list[list[list[int]]] = [[] for _ in range(n)]
+        band_cols = []
         for pl in planes:
             proj = mat @ pl.T                     # (n, bits)
             base = ((proj > 0) * weights).sum(axis=1)
@@ -133,10 +132,10 @@ def srp_sketch_udf(
                 order = np.argsort(np.abs(proj), axis=1)
                 for j in range(min(n_probes - 1, bits)):
                     probes.append(base ^ (1 << order[:, j]).astype(np.int64))
-            cols = np.stack(probes, axis=1)       # (n, n_probes)
-            for i in range(n):
-                out[i].append(cols[i].tolist())
-        return pd.Series(out)
+            band_cols.append(np.stack(probes, axis=1))  # (n, n_probes)
+        # one C-level tolist over the stacked (n, bands, n_probes)
+        # cube — no per-row Python append loop on the hot path
+        return pd.Series(np.stack(band_cols, axis=1).tolist())
 
     return sketch
 

@@ -73,16 +73,34 @@ def connected_components(
         F.col("url_a").alias("u"), F.col("url_b").alias("v")
     ).filter(F.col("u") != F.col("v"))
 
+    # Per-round convergence probe: an order-independent fingerprint
+    # (count, xor of xxhash64(u,v)) of the edge SET.  One shuffle-free
+    # scan of the just-checkpointed blocks — at 10^11 edges this
+    # replaces a full edge-relation shuffle per round (the old
+    # left_semi chained-edge count).  The star rounds hit a fixpoint
+    # exactly when they converge, so "fingerprint unchanged" is the
+    # convergence signal; the exact star-forest check then runs ONCE
+    # to rule out a (2^-64-ish) hash-collision false positive.
+    prev_fp = None
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint()
-        # Converged when the relation is a star forest: no child's
-        # parent (v) is itself a child (appears as some u) — i.e. every
-        # edge points directly at a component root.
-        chained = edges.join(
-            edges.select(F.col("u").alias("v")).distinct(), "v", "left_semi"
-        ).count()
-        if chained == 0:
-            break
+        fp = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+            ).first()
+        )
+        if fp == prev_fp:
+            # Converged iff the relation is a star forest: no child's
+            # parent (v) is itself a child (appears as some u) — i.e.
+            # every edge points directly at a component root.
+            chained = edges.join(
+                edges.select(F.col("u").alias("v")).distinct(),
+                "v",
+                "left_semi",
+            ).count()
+            if chained == 0:
+                break
+        prev_fp = fp
 
     # star edges: u -> root v; roots themselves appear only as v
     members = edges.select(

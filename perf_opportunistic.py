@@ -44,7 +44,7 @@ def one_run(cores: int, path: str) -> dict:
     # which deflates the high-parallelism leg's apparent scaling.
     env = dict(
         os.environ,
-        SPARK_GRAFT_DRIVER_MEM="32g",
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
         SPARK_GRAFT_MAT_DIR="/dev/shm/destor_mat",
         SPARK_LOCAL_DIRS="/dev/shm/destor_spark_local",
     )
@@ -56,7 +56,15 @@ def one_run(cores: int, path: str) -> dict:
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[7:])
-    raise RuntimeError(out.stderr[-1000:])
+    # surface the ROOT exception, not just the stack tail: the first
+    # "Caused by"/Error lines name the failure; the raw tail truncates
+    # to anonymous lambda frames.
+    causes = [
+        ln
+        for ln in out.stderr.splitlines()
+        if "Caused by" in ln or "Error" in ln or "Exception:" in ln
+    ]
+    raise RuntimeError("; ".join(causes[:8]) or out.stderr[-1000:])
 
 
 def main() -> None:
@@ -91,7 +99,16 @@ def main() -> None:
             "probe0": round(frac, 3),
         }
         walls = {}
-        ra = one_run(order[0], path)
+        try:
+            ra = one_run(order[0], path)
+        except RuntimeError as exc:
+            # a failed leg (JVM death, host eviction) is a finding, not
+            # a reason to stop sampling — log it and keep looping
+            pair["failed"] = f"{order[0]}: {exc}"[:500]
+            with open(OUT, "a") as f:
+                f.write(json.dumps(pair) + "\n")
+            print(json.dumps(pair), flush=True)
+            continue
         p1 = probe()
         if p1 > best:
             best = p1
@@ -99,7 +116,14 @@ def main() -> None:
         walls[order[0]] = ra["wall"]
         pair[f"wall_{order[0]}"] = ra["wall"]
         pair["probe_mid"] = round(p1 / best, 3)
-        rb = one_run(order[1], path)
+        try:
+            rb = one_run(order[1], path)
+        except RuntimeError as exc:
+            pair["failed"] = f"{order[1]}: {exc}"[:500]
+            with open(OUT, "a") as f:
+                f.write(json.dumps(pair) + "\n")
+            print(json.dumps(pair), flush=True)
+            continue
         p2 = probe()
         if p2 > best:
             best = p2
