@@ -1559,6 +1559,136 @@ def q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     return srp_near_dup_pairs(emb, dim=64, threshold_micro=990_000)
 
 
+_RW_CONTAINERS = 8
+_RW_HOT_K = 2
+_RW_RR_MOD = 5
+# CFL measured on the previous restore, below the required level ->
+# the out-of-order rewrite switch is ON for this gate (the OFF
+# position is unit-tested in tests/test_rewrite.py)
+_RW_CFL, _RW_CFL_REQUIRE = 0.4, 0.6
+
+
+def q_rewrite_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 rewrite-denial rules (filter_phase.c:89-126) end to end.
+
+    The sf documents table has no exact duplicates, so a rule gate over
+    real md5 clusters would be vacuous (every row unique_write).  The
+    placement input is therefore a DETERMINISTIC synthetic assignment —
+    clusters of up to 3 consecutive doc_ids, canonical = min id,
+    containers from the portable md5 hash — which drives every rule
+    branch; the unit under test is the rule ENGINE
+    (operators/rewrite.py), whose precedence/guards the oracle mirrors
+    clause for clause.  recently_rewritten = fingerprints with portable
+    hash % {mod} == 0, standing in for the previous run's rewrite
+    output (cross-run state, filter_phase.c:36-44).
+    """.format(mod=_RW_RR_MOD)
+    from destor_spark.operators.rewrite import rewrite_decisions
+
+    d = _t(spark, sf_dir, "documents")
+
+    def phash(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+    m = d.select(
+        F.col("doc_id"),
+        F.md5("text").alias("content_sha"),
+        # clusters of up to 3 consecutive ids, with ~1/4 of docs pulled
+        # out as singletons: the resulting per-container utilization
+        # VARIES (0.28-1.7 at sf0.01), so the sparse rule genuinely
+        # fires at the default HAR threshold instead of being vacuous
+        F.when(
+            F.pmod(phash(F.col("doc_id").cast("string")), F.lit(4)) == 0,
+            F.col("doc_id"),
+        )
+        .otherwise(F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(3)))
+        .alias("grp"),
+    )
+    canon = m.groupBy("grp").agg(F.min("doc_id").alias("canon_id"))
+    placed = m.join(canon, "grp").select(
+        F.col("doc_id").cast("string").alias("url"),
+        "content_sha",
+        (F.col("doc_id") == F.col("canon_id")).alias("is_canonical"),
+        F.pmod(phash(F.col("canon_id").cast("string")), F.lit(_RW_CONTAINERS))
+        .cast("bigint")
+        .alias("container_id"),
+        F.pmod(phash(F.col("doc_id").cast("string")), F.lit(_RW_CONTAINERS))
+        .cast("bigint")
+        .alias("own_container_id"),
+    )
+    rr = (
+        m.select("content_sha")
+        .distinct()
+        .filter(F.pmod(phash(F.col("content_sha")), F.lit(_RW_RR_MOD)) == 0)
+        .select(
+            "content_sha",
+            F.concat(F.lit("prev:"), F.col("content_sha")).alias("ref_url"),
+        )
+    )
+    return rewrite_decisions(
+        placed,
+        cfl=_RW_CFL,
+        cfl_require=_RW_CFL_REQUIRE,
+        cache_hot_k=_RW_HOT_K,
+        recently_rewritten=rr,
+    )
+
+
+SQL_REWRITE_DECISIONS = f"""
+WITH m AS (
+  SELECT doc_id, md5(text) AS content_sha,
+         CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                   % 4 = 0
+              THEN doc_id ELSE doc_id - (doc_id % 3) END AS grp
+  FROM documents),
+canon AS (SELECT grp, min(doc_id) AS canon_id FROM m GROUP BY grp),
+placed AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, content_sha,
+         doc_id = canon_id AS is_canonical,
+         ('0x'||substr(md5(CAST(canon_id AS VARCHAR)),1,15))::BIGINT
+             % {_RW_CONTAINERS} AS container_id,
+         ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+             % {_RW_CONTAINERS} AS own_container_id
+  FROM m JOIN canon USING (grp)),
+pc AS (
+  SELECT container_id,
+         sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS resident,
+         sum(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS referenced
+  FROM placed GROUP BY container_id),
+hot AS (SELECT container_id, TRUE AS in_cache FROM pc
+        ORDER BY referenced DESC, container_id LIMIT {_RW_HOT_K}),
+stats AS (
+  SELECT pc.container_id,
+         (referenced * 1.0 / greatest(resident, 1)) < 0.5 AS is_sparse,
+         coalesce(in_cache, FALSE) AS in_cache
+  FROM pc LEFT JOIN hot USING (container_id)),
+rr AS (SELECT DISTINCT content_sha, 'prev:' || content_sha AS ref
+       FROM m
+       WHERE ('0x'||substr(md5(content_sha),1,15))::BIGINT
+             % {_RW_RR_MOD} = 0),
+e AS (SELECT p.*, s.is_sparse, s.in_cache, rr.ref,
+             NOT p.is_canonical AND rr.ref IS NOT NULL AS denied,
+             p.own_container_id != p.container_id AS ooo
+      FROM placed p JOIN stats s USING (container_id)
+      LEFT JOIN rr USING (content_sha))
+SELECT url, container_id,
+  CASE WHEN is_canonical THEN 'unique_write'
+       WHEN denied THEN 'denied_recent_rewrite'
+       WHEN is_sparse THEN 'sparse_rewrite'
+       -- cfl {_RW_CFL} < require {_RW_CFL_REQUIRE}: switch ON, the
+       -- cfl_switch_off branch cannot fire at this gate
+       WHEN ooo AND in_cache THEN 'cache_suppressed'
+       WHEN ooo THEN 'out_of_order_rewrite'
+       ELSE 'no_rewrite' END AS rule,
+  CASE WHEN is_canonical THEN TRUE
+       WHEN denied THEN FALSE
+       WHEN is_sparse THEN TRUE
+       WHEN ooo AND NOT in_cache THEN TRUE
+       ELSE FALSE END AS write,
+  CASE WHEN denied THEN ref END AS ref_url
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1594,6 +1724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniform_sample_fingerprint": q_uniform_sample_fingerprint,
     "cfl_monitor": q_cfl_monitor,
     "exact_media_dedup": q_exact_media_dedup,
+    "rewrite_decisions": q_rewrite_decisions,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1632,4 +1763,5 @@ ORACLE_SQL: dict[str, str] = {
     # the driver SFs (gated by test_srp_driver_query_equals_brute)
     "srp_ann_topk": SQL_SRP_ANN_TOPK,
     "exact_media_dedup": SQL_EXACT_MEDIA_DEDUP,
+    "rewrite_decisions": SQL_REWRITE_DECISIONS,
 }
