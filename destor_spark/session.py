@@ -89,6 +89,24 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces DOWN from the initial partition count but can
+        # never grow a shuffle ABOVE spark.sql.shuffle.partitions, so
+        # sizing that to the core count under-partitions any stage
+        # whose per-partition state grows with the data: measured at 2M
+        # docs / local[8] / 8 partitions, the LSH bucket collect_list
+        # aggregation put ~14M exploded rows of sort+agg state in each
+        # task, the pinned 40g heap went into a GC storm, heartbeats
+        # missed 60x and the context shut down.  Start every shuffle
+        # WIDE (8x workers, floor 64) and let AQE coalesce small maps
+        # back down to its 64 MB advisory target — the same run at 64
+        # initial partitions completes with sub-second pauses.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS",
+                str(max(64, 8 * n_workers)),
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # small local files must still split across all cores (the
         # Arrow signature UDF is CPU-bound); on a real cluster the
