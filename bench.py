@@ -60,6 +60,9 @@ HEADLINE = [
     "grouping_sets_events",
     "uniform_sample_fingerprint",
     "cfl_monitor",
+    # r4 additions
+    "rewrite_decisions",
+    "exact_media_dedup",
 ]
 
 
