@@ -215,16 +215,15 @@ def run_oracle(
         glen = _gram_len(cfg)
         gbuckets: dict[tuple[int, int], list[str]] = defaultdict(list)
         for u, t in zip(urls, texts):
-            t = t or ""
-            if len(t) < glen:
-                continue
-            seen: set[int] = set()
-            for i in range(len(t) - glen + 1):
-                if H.xxh64_str(t[i : i + ANCHOR_W]) % DEF_STRIDE == 0:
-                    g = H.xxh64_str(t[i : i + glen])
-                    if g not in seen:
-                        seen.add(g)
-                        gbuckets[(20_000, g)].append(u)
+            # same anchored-gram kernel as the Spark operator (shared
+            # hash primitive, like xxh64_str elsewhere in this oracle);
+            # candidate parity is by construction, pair correctness is
+            # still independently arbitrated by the exact span check
+            # below.
+            for g in H.anchored_gram_keys(
+                t or "", glen, DEF_STRIDE, ANCHOR_W
+            ).tolist():
+                gbuckets[(20_000, g)].append(u)
         # verification: the shared anchored gram proves ~L-2*stride
         # chars; require a true span >= L with the SAME kernel the
         # Spark verify UDF calls (operators/substring.substring_pairs).

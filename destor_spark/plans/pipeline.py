@@ -20,6 +20,7 @@ import itertools
 import os
 import shutil
 import tempfile
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,14 +106,44 @@ def _mat_root(spark: SparkSession) -> str:
 
 def _query_mat_root(spark: SparkSession) -> str:
     """Stable barrier dir for the driver-query surface: one fixed dir
-    per session, every barrier written mode=overwrite under its tag.
-    Unlike _mat_root's run{N} counter, repeated invocations of the same
-    query REUSE (and overwrite) the same path, so a long-lived driver
+    per session.  Unlike _mat_root's run{N} counter, repeated
+    invocations of the same query REUSE the same per-tag slot (via
+    _materialize_gen's generation counter), so a long-lived driver
     calling q_ngram_jaccard_pairs in a loop holds one barrier's worth
     of disk per tag instead of accumulating run dirs until exit."""
     root = os.path.join(_session_base(spark), "queries")
     os.makedirs(root, exist_ok=True)
     return root
+
+
+_TAG_GENS: dict[tuple[str, str], int] = {}
+_TAG_LOCK = threading.Lock()
+
+
+def _materialize_gen(df: DataFrame, tag: str, root: str) -> DataFrame:
+    """Generation-versioned barrier for the reusable query root.
+
+    Writing mode=overwrite IN PLACE would break two things: a DataFrame
+    returned by an EARLIER invocation of the same query reads deleted
+    files after a re-invocation, and two concurrent invocations of one
+    query in one session race on the same path.  Here every invocation
+    writes a fresh `<tag>_g<N>` dir (the counter is session-global and
+    lock-guarded, so concurrent invocations get distinct dirs) and the
+    PREVIOUS generation is deleted only after the new write commits.
+
+    Single-consumer-per-generation still applies: a barrier DataFrame
+    from invocation N-1 becomes unreadable once invocation N commits —
+    fully consume (or re-run) a query's result before re-invoking it.
+    """
+    app_id = df.sparkSession.sparkContext.applicationId
+    with _TAG_LOCK:
+        gen = _TAG_GENS.get((app_id, tag), 0) + 1
+        _TAG_GENS[(app_id, tag)] = gen
+    path = os.path.join(root, f"{tag}_g{gen}")
+    df.write.mode("overwrite").parquet(path)
+    prev = os.path.join(root, f"{tag}_g{gen - 1}")
+    shutil.rmtree(prev, ignore_errors=True)
+    return df.sparkSession.read.parquet(path)
 
 
 def signatures_stage(

@@ -52,13 +52,17 @@ def _barrier(df: DataFrame, tag: str) -> DataFrame:
     persist() of array<string>/array<bigint> columns goes through the
     per-element generic columnar-cache encoders on build AND every read;
     the parquet round-trip is ~2x faster both ways (measured, see
-    plans/pipeline._materialize).  Uses the session's stable per-tag
-    query root (overwrite-in-place), so repeated driver invocations of
-    the same query reuse one directory instead of leaking run dirs.
+    plans/pipeline._materialize).  Uses the session's stable query root
+    with a per-tag GENERATION counter (plans/pipeline._materialize_gen):
+    repeated driver invocations of one query hold a single barrier's
+    worth of disk per tag, concurrent invocations get distinct dirs,
+    and a prior invocation's barrier stays readable until the new one
+    commits.  Fully consume a query's result before re-invoking it —
+    generation N-1's files are deleted when generation N lands.
     """
-    from destor_spark.plans.pipeline import _materialize, _query_mat_root
+    from destor_spark.plans.pipeline import _materialize_gen, _query_mat_root
 
-    return _materialize(df, tag, _query_mat_root(df.sparkSession))
+    return _materialize_gen(df, tag, _query_mat_root(df.sparkSession))
 
 
 def _tokens(text):
@@ -1579,9 +1583,9 @@ def q_rewrite_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch; the unit under test is the rule ENGINE
     (operators/rewrite.py), whose precedence/guards the oracle mirrors
     clause for clause.  recently_rewritten = fingerprints with portable
-    hash % {mod} == 0, standing in for the previous run's rewrite
-    output (cross-run state, filter_phase.c:36-44).
-    """.format(mod=_RW_RR_MOD)
+    hash % _RW_RR_MOD (= 5) == 0, standing in for the previous run's
+    rewrite output (cross-run state, filter_phase.c:36-44).
+    """
     from destor_spark.operators.rewrite import rewrite_decisions
 
     d = _t(spark, sf_dir, "documents")

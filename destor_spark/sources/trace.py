@@ -169,7 +169,10 @@ def write_fsl_hashfile(
 ) -> None:
     """Write a v3 FSL hashfile.  files: [(file_path, [(digest, size)])];
     every digest must share one length (hash_size).  FIXED chunking
-    ignores per-chunk sizes on disk (the format stores none)."""
+    stores no per-chunk sizes on disk — pass the TRUE sizes (chunk_size
+    everywhere except a possibly-short tail): file_size is written as
+    their sum, which is exactly what libhashfile's reader uses to
+    reconstruct the tail chunk (libhashfile.c:898-913)."""
     if not files or not files[0][1]:
         raise ValueError("need at least one file with one chunk")
     hash_bytes = len(files[0][1][0][0])
@@ -229,8 +232,11 @@ def read_fsl_trace(spark: SparkSession, path: str) -> DataFrame:
     Python touches one iteration per FILE record (the per-chunk arrays
     are strided numpy views + one LUT hex gather); same ~2 GB
     single-file cap as read_trace (binaryFile delivers whole files).
-    FIXED-chunking traces carry no per-chunk sizes: every chunk reports
-    the configured chunk_size, exactly as the reference replay does."""
+    FIXED-chunking traces carry no per-chunk sizes: chunks report the
+    configured chunk_size except each file's LAST chunk, which reports
+    min(chunk_size, file_size - (chunks-1)*chunk_size) — libhashfile's
+    tail-detection rule (libhashfile.c:898-913) — so replay byte totals
+    match destor's exactly on non-multiple file sizes."""
 
     def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -266,6 +272,17 @@ def read_fsl_trace(spark: SparkSession, path: str) -> DataFrame:
                         ).reshape(-1, rec)
                         digests = np.ascontiguousarray(arr)
                         sizes = np.full(nchunks, fixed_size, dtype=np.int64)
+                        if nchunks > 0:
+                            # last chunk = file remainder, capped at
+                            # chunk_size ("detect if tail was on or
+                            # off" — libhashfile.c:898-913); without
+                            # this, replay byte totals diverge from
+                            # destor's on any file whose size is not a
+                            # chunk-size multiple
+                            sizes[-1] = min(
+                                fixed_size,
+                                fsize - (nchunks - 1) * fixed_size,
+                            )
                     else:  # VARIABLE: u64 size + hash
                         rec = 8 + hb
                         arr = np.frombuffer(

@@ -34,6 +34,17 @@ CORES_LOW = int(os.environ.get("SPARK_GRAFT_CORES_LOW", "8"))
 CORES_HIGH = int(os.environ.get("SPARK_GRAFT_CORES_HIGH", "32"))
 FLOOR = float(os.environ.get("SPARK_GRAFT_PROBE_FLOOR", "0.85"))
 OUT = os.path.join(REPO, ".bench_cache", "scaling_pairs.jsonl")
+# Builder/sampler coordination: `touch .bench_cache/PAUSE` holds the
+# sampler between pairs (dev test runs would otherwise read as healthy
+# probes one moment and steal the pair's cores the next); STATE says
+# whether a pair is mid-flight so the builder can defer heavy work.
+PAUSE = os.path.join(REPO, ".bench_cache", "PAUSE")
+STATE = os.path.join(REPO, ".bench_cache", "sampler_state.json")
+
+
+def _set_state(state: str, **extra) -> None:
+    with open(STATE, "w") as f:
+        json.dump({"state": state, "t": time.strftime("%H:%M:%S"), **extra}, f)
 
 
 def one_run(cores: int, path: str) -> dict:
@@ -73,15 +84,23 @@ def main() -> None:
     path, _ = ensure_corpus(os.path.join(REPO, ".bench_cache"), 42, N_DOCS)
     best = load_best_probe()
     while True:
+        if os.path.exists(PAUSE):
+            _set_state("paused")
+            print("PAUSE file present, sleeping 60s", flush=True)
+            time.sleep(60)
+            continue
+        _set_state("probing")
         p0 = probe()
         if p0 > best:
             best = p0
             save_best_probe(p0)
         frac = p0 / best if best else 0.0
         if frac < FLOOR:
+            _set_state("degraded", frac=round(frac, 3))
             print(f"degraded ({frac:.2f}), sleeping 120s", flush=True)
             time.sleep(120)
             continue
+        _set_state("pair_running", n_docs=N_DOCS, probe0=round(frac, 3))
         # Alternate which leg runs first: the host's degradation phases
         # are minutes-long, so a fixed low-then-high order systematically
         # lands the HIGH leg deeper into a decaying window (observed:

@@ -4,7 +4,11 @@
 Diagnostic companion to perf_scaling.py: when end-to-end scaling looks
 flat, this shows WHICH stage failed to parallelize (vs. uniform
 inflation, which means host steal — this sandbox is a shared
-Firecracker VM).  Mirrors run_pipeline()'s barriers exactly.
+Firecracker VM).  Mirrors run_pipeline()'s r4+ single-text-scan
+structure exactly (sigs barrier carries content_sha; exact pass reads
+the barrier, not the raw text), and additionally times the pieces the
+scaling harness EXCLUDES from its wall (session build, corpus
+read+warm) so the per-leg constant share is fully attributed.
 """
 import json
 import os
@@ -22,6 +26,8 @@ SHUFFLE = int(os.environ.get("SPARK_GRAFT_STAGE_SHUFFLE", str(CORES)))
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from destor_spark.config import DedupConfig
     from destor_spark.operators import (
         assign as assign_op,
@@ -31,46 +37,52 @@ def main() -> None:
         simhash as simhash_op,
         verify as verify_op,
     )
-    from destor_spark.plans.pipeline import _mat_root, _materialize, signatures_stage
+    from destor_spark.plans.pipeline import (
+        _mat_root,
+        _materialize,
+        signatures_stage,
+    )
     from destor_spark.session import build_session
     from destor_spark.synth import ensure_corpus
 
     path, _ = ensure_corpus(os.path.join(REPO, ".bench_cache"), 42, N_DOCS)
+    stages: dict[str, float] = {}
+
+    t = time.time()
     spark = build_session(master=f"local[{CORES}]", shuffle_partitions=SHUFFLE)
+    stages["setup/session"] = round(time.time() - t, 2)
+    t = time.time()
     pages = spark.read.parquet(path)
-    pages.count()  # warm
+    pages.count()  # warm reader/JIT — excluded from perf_scaling's wall
+    stages["setup/warm_read"] = round(time.time() - t, 2)
 
     cfg = DedupConfig()
     root = _mat_root(spark)
-    stages: dict[str, float] = {}
     t_all = time.time()
 
     t = time.time()
-    hashed = _materialize(
-        exact_op.with_content_hash(pages.select("url", "warc_ts", "text")).drop(
-            "text"
-        ),
-        "hashed",
-        root,
+    sigs = _materialize(signatures_stage(pages, cfg, with_sha=True), "sigs", root)
+    stages["signatures+sha"] = round(time.time() - t, 2)
+
+    t = time.time()
+    exact_edges = exact_op.exact_pairs(
+        sigs.select("url", "warc_ts", "content_sha")
     )
-    exact_edges = _materialize(exact_op.exact_pairs(hashed), "exact_edges", root)
-    stages["exact"] = round(time.time() - t, 2)
-
-    t = time.time()
-    sigs = _materialize(signatures_stage(pages, cfg), "sigs", root)
-    stages["signatures"] = round(time.time() - t, 2)
-
-    t = time.time()
     pairs, _stats = lsh_op.candidate_pairs(sigs, cfg)
     pairs = _materialize(pairs, "pairs", root)
-    stages["lsh_pairs"] = round(time.time() - t, 2)
+    stages["exact+lsh_pairs"] = round(time.time() - t, 2)
 
     t = time.time()
     verified = _materialize(verify_op.verify_pairs(pairs, sigs, cfg), "verified", root)
     stages["verify"] = round(time.time() - t, 2)
 
     t = time.time()
-    sim = simhash_op.simhash_pairs(sigs, cfg)
+    n_live = sigs.filter(F.col("n_shingles") > 0).count()
+    sim_cfg = simhash_op.auto_index_config(cfg, n_live)
+    stages["simhash/auto_cfg_count"] = round(time.time() - t, 2)
+
+    t = time.time()
+    sim = simhash_op.simhash_pairs(sigs, sim_cfg)
     edges = (
         exact_edges.unionByName(verified.select("url_a", "url_b"))
         .unionByName(sim)
@@ -95,6 +107,7 @@ def main() -> None:
         + json.dumps(
             {
                 "cores": CORES,
+                "shuffle": SHUFFLE,
                 "docs": n,
                 "edges": n_edges,
                 "wall": wall,

@@ -99,9 +99,10 @@ def test_single_text_scan_in_pipeline(spark, cfg, tmp_path):
 
 
 def test_query_barriers_do_not_accumulate_run_dirs(spark):
-    """Repeated driver-query invocations must reuse one barrier dir per
-    tag (overwrite-in-place), not allocate a fresh run{N} each call —
-    a long-lived driver would otherwise leak intermediates until exit."""
+    """Repeated driver-query invocations must hold ONE barrier dir per
+    tag (generation-versioned: the new gen replaces the old after it
+    commits), not allocate a fresh run{N} each call — a long-lived
+    driver would otherwise leak intermediates until exit."""
     import os
 
     from destor_spark.plans.pipeline import _session_base
@@ -109,9 +110,38 @@ def test_query_barriers_do_not_accumulate_run_dirs(spark):
 
     q_ngram_jaccard_pairs(spark, SF).count()
     base = _session_base(spark)
-    before = sorted(os.listdir(base))
+    qroot = os.path.join(base, "queries")
+    before = sorted(os.listdir(qroot))
     q_ngram_jaccard_pairs(spark, SF).count()
     q_ngram_jaccard_pairs(spark, SF).count()
-    after = sorted(os.listdir(base))
-    assert after == before
-    assert "queries" in after
+    after = sorted(os.listdir(qroot))
+    # same COUNT of dirs (one live generation per tag); generation
+    # suffixes advance
+    assert len(after) == len(before)
+    assert {d.rsplit("_g", 1)[0] for d in after} == {
+        d.rsplit("_g", 1)[0] for d in before
+    }
+    assert after != before  # the generation counter actually moved
+
+
+def test_query_barrier_previous_generation_survives_until_commit(spark):
+    """A barrier DataFrame from invocation N-1 must stay readable while
+    invocation N is still being computed (the old overwrite-in-place
+    scheme deleted its files at the START of the new write); after N
+    commits, N-1's files are gone (bounded disk)."""
+    import os
+
+    from destor_spark.plans.pipeline import (
+        _materialize_gen,
+        _query_mat_root,
+    )
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    root = _query_mat_root(spark)
+    first = _materialize_gen(df, "gen_probe", root)
+    assert first.count() == 100
+    second = _materialize_gen(df.filter("id < 50"), "gen_probe", root)
+    # new generation committed -> old files deleted, new readable
+    assert second.count() == 50
+    live = [d for d in os.listdir(root) if d.startswith("gen_probe_g")]
+    assert len(live) == 1

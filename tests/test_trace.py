@@ -112,21 +112,59 @@ def test_fsl_roundtrip_variable(spark, tmp_path):
     assert got == want
 
 
+def _mk_fsl_fixed_files(n_files: int, chunks_per: int, chunk_size: int,
+                        tail: int):
+    """Fixed-chunking files: every chunk chunk_size except a short tail
+    (file_size deliberately NOT a chunk-size multiple)."""
+    files = []
+    for fi in range(n_files):
+        chunks = [
+            (hashlib.md5(f"fslx-{fi}-{ci}".encode()).digest(),
+             chunk_size if ci < chunks_per - 1 else tail)
+            for ci in range(chunks_per)
+        ]
+        files.append((f"/data/fx{fi}.bin", chunks))
+    return files
+
+
 def test_fsl_roundtrip_fixed(spark, tmp_path):
+    """FIXED traces store no per-chunk sizes; the reader reconstructs
+    them: chunk_size everywhere, except the LAST chunk of each file =
+    min(chunk_size, file_size - (chunks-1)*chunk_size) — libhashfile's
+    'detect if tail was on or off' rule (libhashfile.c:898-913)."""
     from destor_spark.sources.trace import read_fsl_trace, write_fsl_hashfile
 
     d = str(tmp_path / "fslf")
     os.makedirs(d)
-    files = _mk_fsl_files(2, 25)
+    files = _mk_fsl_fixed_files(2, 25, chunk_size=8192, tail=3000)
     write_fsl_hashfile(
         os.path.join(d, "t.hash"), files, chunking="fixed",
         fixed_chunk_size=8192,
     )
     df = read_fsl_trace(spark, d).toPandas()
     assert len(df) == 50
-    # FIXED traces store no per-chunk sizes: all report chunk_size
-    assert (df["size"] == 8192).all()
+    # non-tail chunks report chunk_size; each file's tail reports the
+    # true remainder of its (non-multiple) file_size
+    want_sizes = [sz for _, cs in files for _, sz in cs]
+    assert list(df["size"]) == want_sizes
+    assert (df.groupby("file_path")["size"].last() == 3000).all()
     assert [r for r in df["fp"]] == [d_.hex() for _, cs in files for d_, _ in cs]
+
+
+def test_fsl_fixed_tail_off(spark, tmp_path):
+    """A fixed trace whose file_size IS a chunk-size multiple (tail
+    off): every chunk, including the last, reports chunk_size."""
+    from destor_spark.sources.trace import read_fsl_trace, write_fsl_hashfile
+
+    d = str(tmp_path / "fslf2")
+    os.makedirs(d)
+    files = _mk_fsl_fixed_files(1, 10, chunk_size=4096, tail=4096)
+    write_fsl_hashfile(
+        os.path.join(d, "t.hash"), files, chunking="fixed",
+        fixed_chunk_size=4096,
+    )
+    df = read_fsl_trace(spark, d).toPandas()
+    assert (df["size"] == 4096).all()
 
 
 def test_fsl_replay_stats_parity(spark, tmp_path):
