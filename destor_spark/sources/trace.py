@@ -16,9 +16,11 @@ trace file is ~50M records: one worker unpacks it in two vectorized
 numpy calls, no record loop).
 
 Two formats ship here: DSTR1 (our minimal fixed-width layout, above)
-and — since r4 — the literal SUNY FSL hashfile v3 layout destor reads
-through its vendored libhashfile (read_fsl_trace below), so recorded
-FSL traces replay without conversion.  The parity target for both is
+and the literal SUNY FSL hashfile layout destor reads through its
+vendored libhashfile (read_fsl_trace below) — ALL versions 1-7 the
+reference accepts (v3 ships with destor's bundled traces; most
+published SUNY traces are v7), so recorded FSL traces replay without
+conversion.  The parity target for both is
 destor's REPLAY SEMANTICS (same trace in, same dedup stats out), which
 `replay_dedup_stats` implements and tests/test_trace.py pins against
 an independently computed expectation.
@@ -133,17 +135,34 @@ def replay_dedup_stats(trace: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # FSL hashfile codec — the literal SUNY trace layout destor reads
-# (/root/reference/src/fsl/libhashfile.h:222-265, read by
-# /root/reference/src/fsl/read_fsl_trace.c:50-163).  Version 3:
+# (/root/reference/src/fsl/libhashfile.h:222-332, read by
+# /root/reference/src/fsl/read_fsl_trace.c:50-163).  ALL seven header
+# versions libhashfile accepts (libhashfile.c:107-116) are supported:
 #
-#   header_v3 (8288 bytes, packed):
-#     u32 magic=0xDEADDEAD | u32 version=3 | u64 files
+#   common header prefix (struct header, 4176 bytes = v1/v2):
+#     u32 magic=0xDEADDEAD | u32 version | u64 files
 #     char path_root[4096] | u64 chunks | u32 chnk_method (1=FIXED,
 #     2=VARIABLE) | 44-byte chnk params union | u32 hsh_method |
-#     u32 hash_size (bits) | char sysid[4096] | u64 start | u64 end
-#   then per file: file_header_v2 (u64 file_size | u64 chunks |
-#     u32 pathlen | path[pathlen]) followed by its chunk records —
-#     FIXED: <hash>... ; VARIABLE: <u64 chunk_size><hash>...
+#     u32 hash_size (bits)
+#   v3/v4 append char sysid[4096] | u64 start | u64 end  (8288 bytes);
+#   v5/v6/v7 further append u64 bytes                    (8296 bytes).
+#
+#   per-file header (libhashfile.c:592-601 dispatch):
+#     v1:      char path[4096] | u64 file_size | u64 chunks  (4112 B)
+#     v2/v3:   u64 file_size | u64 chunks | u32 pathlen | path
+#     v4:      file_header_v3 (88 B: size,uid,gid,perm,4 times,links,
+#              dev,inode,chunks,pathlen,target_pathlen) | path
+#              [| target_path if S_ISLNK(perm)]
+#     v5/v6/v7: file_header_v4 = v4 layout + u64 blocks after
+#              file_size (96 B) | path [| target_path if symlink]
+#
+#   chunk records (libhashfile.c:879-931):
+#     VARIABLE size prefix: none (v1/v2 — reader reports 0),
+#       u64 (v3..v6), u32 (v7); then hash (hash_size/8 bytes);
+#       then u8 cratio for v6+.
+#     FIXED: hash only [+ cratio v6+]; sizes reconstructed with the
+#       tail rule (last chunk = file remainder capped at chunk_size,
+#       libhashfile.c:898-913) in every version.
 #
 # The chunk params union is sizeof(var_chnking_params) = 44: algo u32 +
 # 32-byte algo union (rabin: window u32, prime u64, module u64, bits
@@ -154,7 +173,24 @@ FSL_MAGIC = 0xDEADDEAD
 _FSL_PATH = 4096
 _FSL_SYSID = 4096
 _FSL_UNION = 44
-_FSL_HEADER_V3 = 4 + 4 + 8 + _FSL_PATH + 8 + 4 + _FSL_UNION + 4 + 4 + _FSL_SYSID + 8 + 8
+_FSL_HEADER_V12 = 4 + 4 + 8 + _FSL_PATH + 8 + 4 + _FSL_UNION + 4 + 4
+_FSL_HEADER_V3 = _FSL_HEADER_V12 + _FSL_SYSID + 8 + 8
+_FSL_HEADER_V5 = _FSL_HEADER_V3 + 8
+# struct file_header_v3 / _v4 fixed parts (libhashfile.h:305-346)
+_FSL_FH_V4 = "<QIIQQQQQQQQII"   # version-4 files: 88 bytes
+_FSL_FH_V5 = "<QQIIQQQQQQQQII"  # version-5..7 files: 96 bytes
+
+
+def _fsl_header_size(version: int) -> int:
+    if version >= 5:
+        return _FSL_HEADER_V5
+    if version >= 3:
+        return _FSL_HEADER_V3
+    return _FSL_HEADER_V12
+
+
+def _is_symlink(perm: int) -> bool:
+    return (perm & 0o170000) == 0o120000
 
 FSL_SCHEMA = "trace_file string, file_path string, fp string, size bigint"
 
@@ -166,19 +202,27 @@ def write_fsl_hashfile(
     fixed_chunk_size: int = 4096,
     sysid: str = "destor-spark-fixture",
     path_root: str = "/fixture",
+    version: int = 3,
 ) -> None:
-    """Write a v3 FSL hashfile.  files: [(file_path, [(digest, size)])];
-    every digest must share one length (hash_size).  FIXED chunking
-    stores no per-chunk sizes on disk — pass the TRUE sizes (chunk_size
-    everywhere except a possibly-short tail): file_size is written as
-    their sum, which is exactly what libhashfile's reader uses to
-    reconstruct the tail chunk (libhashfile.c:898-913)."""
+    """Write an FSL hashfile at any libhashfile version (1-7).
+    files: [(file_path, [(digest, size)])]; every digest must share one
+    length (hash_size).  FIXED chunking stores no per-chunk sizes on
+    disk — pass the TRUE sizes (chunk_size everywhere except a
+    possibly-short tail): file_size is written as their sum, which is
+    exactly what libhashfile's reader uses to reconstruct the tail
+    chunk (libhashfile.c:898-913).  VARIABLE v1/v2 also store no sizes
+    (the reference reports 0 on read, libhashfile.c:916-921).  v6+
+    writes cratio=0 per chunk (field exists; destor's replay ignores
+    it)."""
+    if not 1 <= version <= 7:
+        raise ValueError(f"unsupported FSL version {version}")
     if not files or not files[0][1]:
         raise ValueError("need at least one file with one chunk")
     hash_bytes = len(files[0][1][0][0])
     total_chunks = sum(len(cs) for _, cs in files)
+    total_bytes = sum(s for _, cs in files for _, s in cs)
     with open(path, "wb") as f:
-        hdr = struct.pack("<II", FSL_MAGIC, 3)
+        hdr = struct.pack("<II", FSL_MAGIC, version)
         hdr += struct.pack("<Q", len(files))
         hdr += path_root.encode()[: _FSL_PATH].ljust(_FSL_PATH, b"\x00")
         hdr += struct.pack("<Q", total_chunks)
@@ -195,21 +239,53 @@ def write_fsl_hashfile(
             )
         hsh = {16: 1, 32: 2, 6: 3, 8: 5, 20: 6}.get(hash_bytes, 1)
         hdr += struct.pack("<II", hsh, hash_bytes * 8)
-        hdr += sysid.encode()[: _FSL_SYSID].ljust(_FSL_SYSID, b"\x00")
-        hdr += struct.pack("<QQ", 1_700_000_000, 1_700_000_600)
-        assert len(hdr) == _FSL_HEADER_V3
+        if version >= 3:
+            hdr += sysid.encode()[: _FSL_SYSID].ljust(_FSL_SYSID, b"\x00")
+            hdr += struct.pack("<QQ", 1_700_000_000, 1_700_000_600)
+        if version >= 5:
+            hdr += struct.pack("<Q", total_bytes)
+        assert len(hdr) == _fsl_header_size(version)
         f.write(hdr)
-        for fpath, chunks in files:
+        for fi, (fpath, chunks) in enumerate(files):
             p = fpath.encode()
             fsize = sum(s for _, s in chunks)
-            f.write(struct.pack("<QQI", fsize, len(chunks), len(p)) + p)
+            if version == 1:
+                f.write(
+                    p[: _FSL_PATH - 1].ljust(_FSL_PATH, b"\x00")
+                    + struct.pack("<QQ", fsize, len(chunks))
+                )
+            elif version <= 3:
+                f.write(struct.pack("<QQI", fsize, len(chunks), len(p)) + p)
+            elif version == 4:
+                f.write(
+                    struct.pack(
+                        _FSL_FH_V4, fsize, 0, 0, 0o100644,
+                        1_700_000_000, 1_700_000_000, 1_700_000_000,
+                        1, 0, fi + 1, len(chunks), len(p), 0,
+                    )
+                    + p
+                )
+            else:  # v5/v6/v7: file_header_v4 (+blocks)
+                f.write(
+                    struct.pack(
+                        _FSL_FH_V5, fsize, (fsize + 511) // 512, 0, 0,
+                        0o100644, 1_700_000_000, 1_700_000_000,
+                        1_700_000_000, 1, 0, fi + 1, len(chunks),
+                        len(p), 0,
+                    )
+                    + p
+                )
             for digest, size in chunks:
                 if len(digest) != hash_bytes:
                     raise ValueError("inconsistent digest length")
-                if chunking == "fixed":
-                    f.write(digest)
-                else:
-                    f.write(struct.pack("<Q", size) + digest)
+                if chunking != "fixed":
+                    if version >= 7:
+                        f.write(struct.pack("<I", size))
+                    elif version >= 3:
+                        f.write(struct.pack("<Q", size))
+                f.write(digest)
+                if version >= 6:
+                    f.write(b"\x00")  # cratio placeholder
 
 
 _HEX_LUT = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
@@ -229,25 +305,30 @@ def _hex_column(digests: np.ndarray) -> pd.Series:
 def read_fsl_trace(spark: SparkSession, path: str) -> DataFrame:
     """FSL hashfile(s) -> (trace_file, file_path, fp, size).
 
-    Python touches one iteration per FILE record (the per-chunk arrays
-    are strided numpy views + one LUT hex gather); same ~2 GB
-    single-file cap as read_trace (binaryFile delivers whole files).
-    FIXED-chunking traces carry no per-chunk sizes: chunks report the
+    Accepts every libhashfile version 1-7 (the full set the reference
+    replays, libhashfile.c:107-116 — published SUNY traces are mostly
+    v3 and v7).  Python touches one iteration per FILE record (the
+    per-chunk arrays are strided numpy views + one LUT hex gather);
+    same ~2 GB single-file cap as read_trace (binaryFile delivers
+    whole files).  Size semantics match destor's replay exactly:
+    FIXED-chunking traces carry no per-chunk sizes — chunks report the
     configured chunk_size except each file's LAST chunk, which reports
-    min(chunk_size, file_size - (chunks-1)*chunk_size) — libhashfile's
-    tail-detection rule (libhashfile.c:898-913) — so replay byte totals
-    match destor's exactly on non-multiple file sizes."""
+    min(chunk_size, file_size - (chunks-1)*chunk_size), libhashfile's
+    tail rule (libhashfile.c:898-913); VARIABLE v1/v2 traces carry no
+    sizes either and report 0 (libhashfile.c:916-921); v7 sizes are
+    u32, v3-v6 u64; the v6+ per-chunk cratio byte is skipped (destor's
+    replay ignores it)."""
 
     def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fname, blob in zip(pdf["path"], pdf["content"]):
                 b = bytes(blob)
-                if len(b) < _FSL_HEADER_V3:
+                if len(b) < _FSL_HEADER_V12:
                     raise ValueError(f"short FSL header in {fname}")
                 magic, version = struct.unpack_from("<II", b, 0)
                 if magic != FSL_MAGIC:
                     raise ValueError(f"bad FSL magic in {fname}")
-                if version != 3:
+                if not 1 <= version <= 7:
                     raise ValueError(
                         f"unsupported FSL version {version} in {fname}"
                     )
@@ -258,41 +339,70 @@ def read_fsl_trace(spark: SparkSession, path: str) -> DataFrame:
                 off += 4 + _FSL_UNION
                 _hsh, hash_bits = struct.unpack_from("<II", b, off)
                 hb = hash_bits // 8
-                pos = _FSL_HEADER_V3
+                # chunk-record geometry for this version/method
+                if chnk_method == 1:  # FIXED: no stored sizes
+                    szw = 0
+                elif version >= 7:
+                    szw = 4
+                elif version >= 3:
+                    szw = 8
+                else:  # VARIABLE v1/v2: no stored sizes, report 0
+                    szw = 0
+                crw = 1 if version >= 6 else 0
+                rec = szw + hb + crw
+                pos = _fsl_header_size(version)
                 frames = []
                 while pos < len(b):
-                    fsize, nchunks, plen = struct.unpack_from("<QQI", b, pos)
-                    pos += 20
-                    fpath = b[pos : pos + plen].decode("utf-8", "replace")
-                    pos += plen
-                    if chnk_method == 1:  # FIXED: hashes only
-                        rec = hb
-                        arr = np.frombuffer(
-                            b, dtype=np.uint8, count=nchunks * rec, offset=pos
-                        ).reshape(-1, rec)
-                        digests = np.ascontiguousarray(arr)
+                    if version == 1:
+                        raw = b[pos : pos + _FSL_PATH]
+                        fpath = raw.split(b"\x00", 1)[0].decode(
+                            "utf-8", "replace"
+                        )
+                        fsize, nchunks = struct.unpack_from(
+                            "<QQ", b, pos + _FSL_PATH
+                        )
+                        pos += _FSL_PATH + 16
+                    elif version <= 3:
+                        fsize, nchunks, plen = struct.unpack_from(
+                            "<QQI", b, pos
+                        )
+                        pos += 20
+                        fpath = b[pos : pos + plen].decode("utf-8", "replace")
+                        pos += plen
+                    else:
+                        fmt = _FSL_FH_V4 if version == 4 else _FSL_FH_V5
+                        fields = struct.unpack_from(fmt, b, pos)
+                        pos += struct.calcsize(fmt)
+                        fsize = fields[0]
+                        perm = fields[3] if version == 4 else fields[4]
+                        nchunks, plen, tplen = fields[-3:]
+                        fpath = b[pos : pos + plen].decode("utf-8", "replace")
+                        pos += plen
+                        if _is_symlink(perm):  # libhashfile.c:631-644
+                            pos += tplen
+                    arr = np.frombuffer(
+                        b, dtype=np.uint8, count=nchunks * rec, offset=pos
+                    ).reshape(-1, rec)
+                    if chnk_method == 1:  # FIXED: tail rule
                         sizes = np.full(nchunks, fixed_size, dtype=np.int64)
                         if nchunks > 0:
-                            # last chunk = file remainder, capped at
-                            # chunk_size ("detect if tail was on or
-                            # off" — libhashfile.c:898-913); without
-                            # this, replay byte totals diverge from
-                            # destor's on any file whose size is not a
-                            # chunk-size multiple
                             sizes[-1] = min(
                                 fixed_size,
                                 fsize - (nchunks - 1) * fixed_size,
                             )
-                    else:  # VARIABLE: u64 size + hash
-                        rec = 8 + hb
-                        arr = np.frombuffer(
-                            b, dtype=np.uint8, count=nchunks * rec, offset=pos
-                        ).reshape(-1, rec)
+                    elif szw == 8:
                         sizes = (
                             arr[:, :8].copy().view("<u8").reshape(-1)
                             .astype(np.int64)
                         )
-                        digests = np.ascontiguousarray(arr[:, 8:])
+                    elif szw == 4:
+                        sizes = (
+                            arr[:, :4].copy().view("<u4").reshape(-1)
+                            .astype(np.int64)
+                        )
+                    else:  # VARIABLE v1/v2
+                        sizes = np.zeros(nchunks, dtype=np.int64)
+                    digests = np.ascontiguousarray(arr[:, szw : szw + hb])
                     pos += nchunks * rec
                     frames.append(
                         pd.DataFrame(

@@ -191,3 +191,46 @@ def test_fsl_replay_stats_parity(spark, tmp_path):
     assert got["logical_bytes"] == logical
     assert got["stored_bytes"] == stored
     assert got["dedup_ratio_ppm"] == round(1_000_000 * logical / stored)
+
+
+def test_fsl_all_versions_roundtrip(spark, tmp_path):
+    """Every libhashfile header version 1-7 round-trips: same files,
+    same digests, per-version size semantics (libhashfile.c:879-931 —
+    VARIABLE v1/v2 store no sizes and report 0; v3-v6 store u64; v7
+    stores u32; v6+ append a cratio byte the replay skips)."""
+    from destor_spark.sources.trace import read_fsl_trace, write_fsl_hashfile
+
+    files = _mk_fsl_files(2, 15)
+    want_fps = [d_.hex() for _, cs in files for d_, _ in cs]
+    want_sizes = [sz for _, cs in files for _, sz in cs]
+    for v in range(1, 8):
+        d = str(tmp_path / f"fslv{v}")
+        os.makedirs(d)
+        write_fsl_hashfile(
+            os.path.join(d, "t.hash"), files, chunking="variable", version=v
+        )
+        df = read_fsl_trace(spark, d).toPandas()
+        assert len(df) == 30, f"v{v}"
+        assert list(df["fp"]) == want_fps, f"v{v}"
+        assert set(df["file_path"]) == {"/data/f0.bin", "/data/f1.bin"}, f"v{v}"
+        if v <= 2:  # no sizes on disk: reader reports 0, like destor
+            assert (df["size"] == 0).all(), f"v{v}"
+        else:
+            assert list(df["size"]) == want_sizes, f"v{v}"
+
+
+def test_fsl_all_versions_fixed_tail(spark, tmp_path):
+    """FIXED chunking applies the tail rule in every version (the rule
+    is version-independent in libhashfile.c:898-913)."""
+    from destor_spark.sources.trace import read_fsl_trace, write_fsl_hashfile
+
+    files = _mk_fsl_fixed_files(1, 8, chunk_size=4096, tail=1234)
+    for v in (1, 2, 4, 6, 7):
+        d = str(tmp_path / f"fslfv{v}")
+        os.makedirs(d)
+        write_fsl_hashfile(
+            os.path.join(d, "t.hash"), files, chunking="fixed",
+            fixed_chunk_size=4096, version=v,
+        )
+        df = read_fsl_trace(spark, d).toPandas()
+        assert list(df["size"]) == [4096] * 7 + [1234], f"v{v}"
