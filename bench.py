@@ -63,6 +63,8 @@ HEADLINE = [
     # r4 additions
     "rewrite_decisions",
     "exact_media_dedup",
+    # r5 addition: DDFS summary-vector prefilter + exact confirm
+    "bloom_fp_lookup",
 ]
 
 

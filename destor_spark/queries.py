@@ -1693,6 +1693,37 @@ FROM e
 """
 
 
+def q_bloom_fp_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom summary-vector fingerprint lookup (SURVEY H4 — destor's
+    `fingerprint-index-bloom-filter`, config.c:174-176 over the
+    vendored bloom_filter.c): probe fps are prefiltered against a
+    compact bit table built from the base set, survivors confirmed
+    with the exact semi-join, so the RESULT is exactly `probe SEMI
+    JOIN base` (the oracle below) while the heavy probe relation never
+    shuffles on the full key.  base = every third document's content
+    fp (standing in for the previous backup's fingerprint index);
+    probe = the rest; fp = first-chunk content hash (md5 of the
+    leading 40 chars — chunk-level fps are exactly what the reference
+    filter summarizes)."""
+    from destor_spark.operators.bloom import bloom_exact_lookup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.substring("text", 1, 40)).alias("fp")
+    )
+    base = d.filter(F.col("doc_id") % 3 == 0).select("fp")
+    probe = d.filter(F.col("doc_id") % 3 != 0)
+    return bloom_exact_lookup(probe, base, "fp").select("doc_id", "fp")
+
+
+SQL_BLOOM_FP_LOOKUP = """
+WITH d AS (SELECT doc_id, md5(substr(text, 1, 40)) AS fp FROM documents),
+base AS (SELECT fp FROM d WHERE doc_id % 3 = 0),
+probe AS (SELECT doc_id, fp FROM d WHERE doc_id % 3 <> 0)
+SELECT doc_id, fp FROM probe
+WHERE fp IN (SELECT fp FROM base)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1729,6 +1760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cfl_monitor": q_cfl_monitor,
     "exact_media_dedup": q_exact_media_dedup,
     "rewrite_decisions": q_rewrite_decisions,
+    "bloom_fp_lookup": q_bloom_fp_lookup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1768,4 +1800,5 @@ ORACLE_SQL: dict[str, str] = {
     "srp_ann_topk": SQL_SRP_ANN_TOPK,
     "exact_media_dedup": SQL_EXACT_MEDIA_DEDUP,
     "rewrite_decisions": SQL_REWRITE_DECISIONS,
+    "bloom_fp_lookup": SQL_BLOOM_FP_LOOKUP,
 }

@@ -49,7 +49,17 @@ def main() -> None:
     stages: dict[str, float] = {}
 
     t = time.time()
-    spark = build_session(master=f"local[{CORES}]", shuffle_partitions=SHUFFLE)
+    evdir = os.environ.get("SPARK_GRAFT_EVENT_DIR")
+    extra = {}
+    if evdir:
+        os.makedirs(evdir, exist_ok=True)
+        extra = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+        }
+    spark = build_session(
+        master=f"local[{CORES}]", shuffle_partitions=SHUFFLE, extra=extra
+    )
     stages["setup/session"] = round(time.time() - t, 2)
     t = time.time()
     pages = spark.read.parquet(path)
