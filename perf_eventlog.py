@@ -22,13 +22,16 @@ from collections import defaultdict
 
 
 def analyze(path: str, top_n: int = 12) -> list[dict]:
+    # Spark 4 event logs are DIRECTORIES (eventlog_v2 rolling format:
+    # events_N_<app> files + an appstatus_ marker) — walk recursively,
+    # keep only the event shards.
     files = []
     if os.path.isdir(path):
-        files = [
-            os.path.join(path, f)
-            for f in sorted(os.listdir(path))
-            if not f.startswith(".")
-        ]
+        for dirp, _dirs, names in os.walk(path):
+            for f in sorted(names):
+                if f.startswith(".") or f.startswith("appstatus_"):
+                    continue
+                files.append(os.path.join(dirp, f))
     else:
         files = [path]
     stages: dict[tuple, dict] = defaultdict(
@@ -40,7 +43,19 @@ def analyze(path: str, top_n: int = 12) -> list[dict]:
     )
     cores = None
     for fp in files:
-        with open(fp) as f:
+        # Spark compresses rolling shards (spark.eventLog.compress
+        # default codec zstd); pyarrow ships a zstd decompressor.
+        if fp.endswith(".zstd"):
+            import io
+
+            import pyarrow as pa
+
+            with pa.CompressedInputStream(pa.OSFile(fp, "rb"), "zstd") as zs:
+                raw = zs.read()
+            f = io.StringIO(raw.decode("utf-8", errors="replace"))
+        else:
+            f = open(fp)
+        with f:
             for line in f:
                 try:
                     ev = json.loads(line)

@@ -116,6 +116,12 @@ def main() -> None:
             "cores": [CORES_LOW, CORES_HIGH],
             "order": list(order),
             "probe0": round(frac, 3),
+            # raw ops/s beside each fraction: the session-best baseline
+            # ratchets up over time (and .bench_cache is wiped between
+            # rounds), so fractions written early can under- or
+            # over-state health — raw values let analysis renormalize
+            # every historical row against the final best.
+            "probe0_ops": p0,
         }
         walls = {}
         try:
@@ -135,6 +141,7 @@ def main() -> None:
         walls[order[0]] = ra["wall"]
         pair[f"wall_{order[0]}"] = ra["wall"]
         pair["probe_mid"] = round(p1 / best, 3)
+        pair["probe_mid_ops"] = p1
         try:
             rb = one_run(order[1], path)
         except RuntimeError as exc:
@@ -150,6 +157,7 @@ def main() -> None:
         walls[order[1]] = rb["wall"]
         pair[f"wall_{order[1]}"] = rb["wall"]
         pair["probe_end"] = round(p2 / best, 3)
+        pair["probe_end_ops"] = p2
         pair["n_docs"] = N_DOCS
         pair["speedup"] = round(walls[CORES_LOW] / walls[CORES_HIGH], 2)
         pair["eff"] = round(
