@@ -243,6 +243,174 @@ def to_unsigned(s: np.ndarray) -> np.ndarray:
     return np.asarray(s, dtype=np.int64).view(np.uint64)
 
 
+# ---------------------------------------------------------------------------
+# vectorized tokenize + XXH64 over a raw UTF-8 buffer
+# ---------------------------------------------------------------------------
+# The r5 event-log profile of the signature stage showed the JVM
+# tokenize path (split + higher-order F.transform(xxhash64)) billing
+# 30-50% of executor run time to GC: higher-order functions are
+# INTERPRETED in Spark (no whole-stage codegen) and box every token
+# hash into a fresh GenericArrayData — ~300 boxed Longs per document.
+# These kernels replace that path: the Arrow string buffer is tokenized
+# and hashed in numpy without materializing a single per-token Python
+# or JVM object.  Parity: token spans match Java regex \s+ splitting
+# (ASCII [ \t\n\x0B\f\r] — Spark's F.split semantics, pinned in
+# tests/test_tokenize_kernel.py), hashes match Spark xxhash64 (seed
+# 42) bit for bit via the same algebra as xxh64 above.
+
+# Java \s matches exactly these six bytes (Pattern docs; no
+# UNICODE_CHARACTER_CLASS).  UTF-8 multi-byte sequences never contain
+# ASCII bytes, so byte-level splitting is codepoint-safe.
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20]] = True
+
+
+def tokenize_spans(
+    buf: np.ndarray, doc_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Token spans of every document in one shared UTF-8 buffer.
+
+    buf: uint8 buffer holding the concatenated documents.
+    doc_offsets: int64[n_docs + 1] — document i occupies
+        buf[doc_offsets[i]:doc_offsets[i+1]] (an Arrow string array's
+        offsets buffer, possibly starting above 0 for sliced arrays).
+
+    Returns (starts, lengths, counts): token start positions in buf,
+    token byte lengths, and tokens-per-document.  A token is a maximal
+    run of non-whitespace bytes within one document (runs never cross
+    document boundaries, matching per-document split semantics).
+    """
+    doc_offsets = np.asarray(doc_offsets, dtype=np.int64)
+    lo, hi = int(doc_offsets[0]), int(doc_offsets[-1])
+    n_docs = doc_offsets.shape[0] - 1
+    if hi - lo <= 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.zeros(n_docs, np.int64),
+        )
+    win = buf[lo:hi]
+    rel = doc_offsets - lo
+    is_tok = ~_WS_LUT[win]
+    # a token STARTS where a non-ws byte has no non-ws predecessor
+    # within the same document; symmetric rule for ends
+    prev = np.empty_like(is_tok)
+    prev[0] = False
+    prev[1:] = is_tok[:-1]
+    inner = rel[(rel > 0) & (rel < rel[-1])]
+    prev[inner] = False  # first byte of each doc: no predecessor
+    starts = np.flatnonzero(is_tok & ~prev)
+    nxt = np.empty_like(is_tok)
+    nxt[-1] = False
+    nxt[:-1] = is_tok[1:]
+    nxt[inner - 1] = False  # last byte of each doc: no successor
+    ends = np.flatnonzero(is_tok & ~nxt) + 1
+    lengths = ends - starts
+    counts = np.diff(np.searchsorted(starts, rel))
+    return starts + lo, lengths, counts
+
+
+# xxh64 vector constants (uint64 scalars so every op stays in-lane)
+_U = np.uint64
+_VP1, _VP2, _VP3, _VP4, _VP5 = _U(_P1), _U(_P2), _U(_P3), _U(_P4), _U(_P5)
+# gather chunk: 64k tokens x 32 B gathered + 64k x 32 int32 indices
+# stays ~10 MB of temporaries per call (mmap-threshold discipline, see
+# _MH_CHUNK note)
+_TOK_CHUNK = 1 << 16
+
+
+def _vrotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U(r)) | (x >> _U(64 - r))
+
+
+def xxh64_tokens(
+    buf: np.ndarray,
+    starts: np.ndarray,
+    lengths: np.ndarray,
+    seed: int = SPARK_XXHASH_SEED,
+) -> np.ndarray:
+    """XXH64 of every (start, length) span of buf, vectorized.
+
+    Bit-identical to xxh64() (hence Spark's xxhash64) on every span.
+    Spans shorter than 32 bytes — in web text, essentially all word
+    tokens — run fully vectorized; longer spans take the scalar
+    reference path.
+    """
+    n = starts.shape[0]
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    long_idx = np.flatnonzero(lengths >= 32)
+    for i in long_idx:
+        s = int(starts[i])
+        out[i] = xxh64(buf[s : s + int(lengths[i])].tobytes(), seed)
+    short_idx = np.flatnonzero(lengths < 32)
+    if short_idx.size == 0:
+        return out
+    h_seed = _U((seed + _P5) & _M)
+    col32 = np.arange(32, dtype=np.int64)
+    nbuf = buf.shape[0]
+    with _ERR:
+        for c0 in range(0, short_idx.size, _TOK_CHUNK):
+            sel = short_idx[c0 : c0 + _TOK_CHUNK]
+            st = starts[sel]
+            ln = lengths[sel]
+            # padded (m, 32) byte matrix; indices past the buffer are
+            # clipped (their values are zeroed by the length mask)
+            pos = st[:, None] + col32[None, :]
+            np.minimum(pos, nbuf - 1, out=pos)
+            b = buf[pos]
+            b[col32[None, :] >= ln[:, None]] = 0
+            w = b.view(np.uint64)  # (m, 4) little-endian lanes
+            ln_u = ln.astype(np.uint64)
+            h = h_seed + ln_u  # (seed + P5 + n) & M
+            # 8-byte lanes: h = rotl(h ^ round(0, w_j), 27) * P1 + P4
+            for j in range(4):
+                lane = _vrotl(w[:, j] * _VP2, 31) * _VP1
+                hj = _vrotl(h ^ lane, 27) * _VP1 + _VP4
+                h = np.where(ln >= 8 * (j + 1), hj, h)
+            consumed = (ln >> 3) << 3
+            # 4-byte lane: consumed is a multiple of 8, so the uint32
+            # at `consumed` is the low half of word consumed>>3
+            has4 = (ln - consumed) >= 4
+            col = (consumed >> 3).astype(np.intp)
+            wsel = np.take_along_axis(w, col[:, None], axis=1)[:, 0]
+            v4 = wsel & _U(0xFFFFFFFF)
+            h4 = _vrotl(h ^ (v4 * _VP1), 23) * _VP2 + _VP3
+            h = np.where(has4, h4, h)
+            consumed = consumed + np.where(has4, 4, 0)
+            # byte tail (at most 3 bytes)
+            for k in range(3):
+                p = consumed + k
+                live = p < ln
+                pcol = np.minimum(p, 31).astype(np.intp)
+                byte = np.take_along_axis(b, pcol[:, None], axis=1)[
+                    :, 0
+                ].astype(np.uint64)
+                hb = _vrotl(h ^ (byte * _VP5), 11) * _VP1
+                h = np.where(live, hb, h)
+            # avalanche
+            h ^= h >> _U(33)
+            h *= _VP2
+            h ^= h >> _U(29)
+            h *= _VP3
+            h ^= h >> _U(32)
+            out[sel] = h
+    return out
+
+
+def tokenize_xxh64(
+    buf: np.ndarray, doc_offsets: np.ndarray, seed: int = SPARK_XXHASH_SEED
+) -> tuple[np.ndarray, np.ndarray]:
+    """(token_hashes uint64, tokens-per-doc int64) for a document batch
+    held in one UTF-8 buffer — the fused, object-free equivalent of
+    split(text, '\\s+') + transform(xxhash64) per document."""
+    starts, lengths, counts = tokenize_spans(buf, doc_offsets)
+    return xxh64_tokens(buf, starts, lengths, seed), counts
+
+
 
 # ---------------------------------------------------------------------------
 # exact common-substring check (substring-pass verification kernel)

@@ -32,7 +32,6 @@ from destor_spark.operators import cluster as cluster_op
 from destor_spark.operators import exact as exact_op
 from destor_spark.operators import lsh as lsh_op
 from destor_spark.operators import minhash as minhash_op
-from destor_spark.operators import shingles as shingles_op
 from destor_spark.operators import simhash as simhash_op
 from destor_spark.operators import substring as substring_op
 from destor_spark.operators import verify as verify_op
@@ -176,8 +175,12 @@ def signatures_stage(
         keyed = keyed.repartition(want)
     if with_sha:
         keyed = exact_op.with_content_hash(keyed)
-    toks = shingles_op.with_token_hashes(keyed)
-    return minhash_op.with_signatures(toks.drop("text"), cfg)
+    # fused text -> signatures in one Arrow stage (r5): the former
+    # split + F.transform(xxhash64) JVM path was interpreted (no
+    # codegen for higher-order functions) and boxed every token hash —
+    # event-log profile at 1M docs billed 30-50% of the stage's run
+    # time to GC.  Signatures are bit-identical (parity-gated).
+    return minhash_op.with_signatures_from_text(keyed, cfg)
 
 
 def run_pipeline(

@@ -34,6 +34,7 @@ def analyze(path: str, top_n: int = 12) -> list[dict]:
                 files.append(os.path.join(dirp, f))
     else:
         files = [path]
+    intervals: list[tuple[int, int]] = []  # (launch, finish) of every task
     stages: dict[tuple, dict] = defaultdict(
         lambda: {
             "tasks": 0, "run_ms": 0, "cpu_ms": 0, "gc_ms": 0,
@@ -90,6 +91,7 @@ def analyze(path: str, top_n: int = 12) -> list[dict]:
                     launch = ti.get("Launch Time", 0)
                     finish = ti.get("Finish Time", 0)
                     if finish and launch:
+                        intervals.append((launch, finish))
                         s["sched_ms"] += max(
                             0,
                             finish - launch - run
@@ -125,6 +127,28 @@ def analyze(path: str, top_n: int = 12) -> list[dict]:
     total_wall = sum(r["wall_s"] for r in rows)
     total_run = sum(r["run_s"] for r in rows)
     total_gc = sum(r["gc_s"] for r in rows)
+    # Driver-idle time: union the task (launch, finish) intervals and
+    # measure the gaps — wall-clock where ZERO tasks ran.  This is the
+    # job's serial share C (driver planning, AQE re-plans, barrier
+    # commits, result fetch), the quantity that caps N->4N scaling:
+    # eff = (C + 4x)/(C + x)/4 at 2->8 cores.  Executor-side idleness
+    # (a stage running 1 task on 8 cores) is NOT counted here — that
+    # shows up in the per-stage `par` column instead.
+    busy_ms = 0
+    span_ms = 0
+    if intervals:
+        intervals.sort()
+        span_ms = intervals[-1][1] - intervals[0][0]
+        cur_s, cur_e = intervals[0]
+        for s, e in intervals[1:]:
+            if s > cur_e:
+                busy_ms += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        busy_ms += cur_e - cur_s
+        # guard span against clock weirdness
+        span_ms = max(span_ms, busy_ms)
     print(
         json.dumps(
             {
@@ -133,6 +157,8 @@ def analyze(path: str, top_n: int = 12) -> list[dict]:
                 "sum_stage_wall_s": round(total_wall, 1),
                 "sum_task_run_s": round(total_run, 1),
                 "sum_gc_s": round(total_gc, 1),
+                "task_span_s": round(span_ms / 1000, 1),
+                "driver_idle_s": round((span_ms - busy_ms) / 1000, 1),
             }
         )
     )
