@@ -82,6 +82,20 @@ def main() -> None:
     from destor_spark.synth import ensure_corpus
 
     path, _ = ensure_corpus(os.path.join(REPO, ".bench_cache"), 42, N_DOCS)
+    # Stage the input on tmpfs beside the barriers: a leg must never pay
+    # a cold disk read inside its timed window (the sandbox analogue of
+    # a cluster's page-cached/distributed input).  Page cache would
+    # usually do this, but a 20-minute local[2] leg can see eviction;
+    # tmpfs makes it structural.
+    shm_dir = "/dev/shm/destor_input"
+    os.makedirs(shm_dir, exist_ok=True)
+    shm_path = os.path.join(shm_dir, os.path.basename(path))
+    if not os.path.exists(shm_path) or os.path.getsize(shm_path) != os.path.getsize(path):
+        import shutil
+
+        shutil.copyfile(path, shm_path + ".tmp")
+        os.replace(shm_path + ".tmp", shm_path)
+    path = shm_path
     best = load_best_probe()
     while True:
         if os.path.exists(PAUSE):

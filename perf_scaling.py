@@ -45,7 +45,15 @@ from destor_spark.config import DedupConfig
 from destor_spark.plans.pipeline import run_pipeline
 spark = build_session(master="local[{cores}]", shuffle_partitions={cores})
 pages = spark.read.parquet({path!r})
-pages.count()  # warm reader/JIT
+# Warm the DATA, not just the footer: parquet count() is answered from
+# row-group metadata and never touches the text pages, so the pair's
+# FIRST leg used to pay a cold ~4 GB disk read inside its timed window
+# (measured: wall_8 408 s warm vs 490 s cold — a pure order effect).
+# Summing text lengths decodes every data page once, faulting the file
+# into the OS page cache and warming codegen/JIT on the same plan shape
+# the pipeline uses.
+from pyspark.sql import functions as F
+pages.select(F.sum(F.length("text")), F.sum(F.length("html"))).collect()
 t0 = time.time()
 res = run_pipeline(pages, DedupConfig(), use_simhash=True)
 n = res.assignments.count()
