@@ -63,8 +63,10 @@ HEADLINE = [
     # r4 additions
     "rewrite_decisions",
     "exact_media_dedup",
-    # r5 addition: DDFS summary-vector prefilter + exact confirm
+    # r5 additions: DDFS summary-vector prefilter + exact confirm,
+    # byte-level Rabin CDC pass (map-only, vectorized kernels)
     "bloom_fp_lookup",
+    "cdc_chunk_certificate",
 ]
 
 

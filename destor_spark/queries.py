@@ -1724,6 +1724,31 @@ WHERE fp IN (SELECT fp FROM base)
 """
 
 
+def q_cdc_chunk_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin CDC over every document (reference rabin_chunk_data,
+    src/chunking/rabin_chunking.c:249-276, via the vectorized kernels
+    in destor_spark.chunking), emitting the lossless-partition
+    certificate: total chunk bytes + md5 of the in-order reassembled
+    chunk bytes per doc.  Equals (octet_length, md5(text)) iff the cut
+    array exactly partitions the UTF-8 bytes; boundary parity with the
+    reference walk is pinned in tests/test_cdc.py under hypothesis.
+    Map-only stage — no shuffle."""
+    from destor_spark.operators.cdc import chunk_invariants
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_invariants(
+        d, algo="rabin", min_size=32, avg_size=128, max_size=1024
+    ).select("doc_id", "total_bytes", "reassembled_md5")
+
+
+SQL_CDC_CHUNK_CERTIFICATE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS total_bytes,
+       md5(text) AS reassembled_md5
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1761,6 +1786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_media_dedup": q_exact_media_dedup,
     "rewrite_decisions": q_rewrite_decisions,
     "bloom_fp_lookup": q_bloom_fp_lookup,
+    "cdc_chunk_certificate": q_cdc_chunk_certificate,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1801,4 +1827,5 @@ ORACLE_SQL: dict[str, str] = {
     "exact_media_dedup": SQL_EXACT_MEDIA_DEDUP,
     "rewrite_decisions": SQL_REWRITE_DECISIONS,
     "bloom_fp_lookup": SQL_BLOOM_FP_LOOKUP,
+    "cdc_chunk_certificate": SQL_CDC_CHUNK_CERTIFICATE,
 }

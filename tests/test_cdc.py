@@ -257,3 +257,95 @@ def test_ae_max_size_overshoot_quirk():
     got = ae_cuts(buf, 64, mx)
     want = _scalar_cuts(buf, _scalar_ae_once, 64, mx)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side operator (operators/cdc.py)
+# ---------------------------------------------------------------------------
+
+def _dup_span_pdf():
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    span = rng.integers(0, 256, 4_000, dtype=np.uint8).tobytes()
+    docs = []
+    for i in range(20):
+        pre = rng.integers(0, 256, int(rng.integers(0, 800)), dtype=np.uint8)
+        post = rng.integers(0, 256, int(rng.integers(0, 800)), dtype=np.uint8)
+        body = pre.tobytes() + span + post.tobytes()
+        # latin-1 round-trips every byte value through a Python str
+        docs.append({"doc_id": i, "text": body.decode("latin-1")})
+    return pd.DataFrame(docs)
+
+
+def test_chunk_documents_matches_local_kernel(spark):
+    from destor_spark.operators.cdc import cdc_dedup_stats, chunk_documents
+
+    pdf = _dup_span_pdf()
+    df = spark.createDataFrame(pdf)
+    got = (
+        chunk_documents(df, algo="rabin", min_size=64, avg_size=256,
+                        max_size=2048)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    import hashlib
+
+    rows = []
+    for _, r in pdf.iterrows():
+        data = r["text"].encode("utf-8")
+        cuts = rabin_cuts(data, 64, 256, 2048)
+        prev = 0
+        for i, end in enumerate(cuts.tolist()):
+            rows.append(
+                (r["doc_id"], i, prev, end - prev,
+                 hashlib.sha1(data[prev:end]).digest())
+            )
+            prev = end
+    assert [tuple(x) for x in got.itertuples(index=False)] == rows
+
+    # dedup stats: the shared span must dedup across the 20 docs
+    stats = cdc_dedup_stats(
+        chunk_documents(df, algo="rabin", min_size=64, avg_size=256,
+                        max_size=2048)
+    ).toPandas().iloc[0]
+    fp_sizes = {}
+    logical = 0
+    for _, _, _, size, fp in rows:
+        fp_sizes[fp] = size
+        logical += size
+    assert stats["logical_bytes"] == logical
+    assert stats["stored_bytes"] == sum(fp_sizes.values())
+    assert stats["n_unique_chunks"] == len(fp_sizes)
+    assert stats["dedup_ratio"] > 1.5  # shared 4 KB span across 20 docs
+
+
+def test_cdc_certificate_matches_duckdb(spark):
+    """The driver-facing lossless-partition certificate vs its SQL twin
+    (mirrors CORRECTNESS gating at sf0.001)."""
+    import duckdb
+
+    from destor_spark.queries import ORACLE_SQL, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    sp = (
+        QUERIES["cdc_chunk_certificate"](spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    du = (
+        con.sql(ORACLE_SQL["cdc_chunk_certificate"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(sp) == len(du) == 500
+    assert (sp["total_bytes"] == du["total_bytes"]).all()
+    assert (sp["reassembled_md5"] == du["reassembled_md5"]).all()
