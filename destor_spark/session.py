@@ -121,6 +121,20 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Event-log instrumentation for perf_eventlog.py attribution runs
+    # (opt-in: per-task metrics cost a little driver time).  Honored
+    # here so EVERY harness (perf_scaling/perf_opportunistic/
+    # perf_heap_ab) inherits it — the r5 heap A/B passed this env var
+    # but only perf_stages.py's private snippet consumed it.
+    evdir = os.environ.get("SPARK_GRAFT_EVENT_DIR")
+    if evdir:
+        os.makedirs(evdir, exist_ok=True)
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evdir)
+            .config("spark.eventLog.rolling.enabled", "true")
+            .config("spark.eventLog.compress", "true")
+        )
     for k, v in _MALLOC_ENV.items():
         b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra or {}).items():
