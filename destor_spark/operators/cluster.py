@@ -61,17 +61,87 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
+# Edge-count threshold below which the remaining star rounds collapse
+# into ONE union-find task.  The star rounds shrink the relation
+# geometrically, so the tail is many rounds over tiny data — and each
+# round still pays 2 shuffles + a checkpoint + a probe scan of fixed
+# scheduling cost (measured at 2M docs: the tail rounds run 128-task
+# stages at parallelism 1.3 on the 8-core leg and 0.4-0.8 on the
+# 2-core leg — pure fixed cost on BOTH legs).  2M edges x ~150 B of
+# url strings is ~300 MB in the finishing task: well inside one
+# executor at any realistic cluster sizing, and the knob is explicit
+# for smaller executors.
+TAIL_UNION_FIND_ROWS = 2_000_000
+
+
+def _union_find_finish(edges: DataFrame) -> DataFrame:
+    """One-task path-compressed union-find over a SMALL edge relation;
+    returns (url, cluster_id=component-min) for every node, roots
+    included — the same contract as the star-rounds fixpoint."""
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["u"], pdf["v"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN keeps roots = lexicographic minimum
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        out = sorted(parent)
+        yield pd.DataFrame(
+            {"url": out, "cluster_id": [find(x) for x in out]}
+        )
+
+    return edges.coalesce(1).mapInPandas(
+        uf, schema="url string, cluster_id string"
+    )
+
+
 def connected_components(
-    pairs: DataFrame, max_rounds: int = 50
+    pairs: DataFrame,
+    max_rounds: int = 50,
+    tail_rows: int = TAIL_UNION_FIND_ROWS,
 ) -> DataFrame:
     """pairs(url_a, url_b) -> (url, cluster_id) for every url in pairs.
 
     cluster_id is the lexicographic-minimum url of the component.
     Singleton nodes are absent (callers union them back).
+
+    Star rounds run while the edge relation is large; as soon as the
+    per-round count probe reports <= tail_rows edges the remaining
+    rounds collapse into one union-find task (_union_find_finish) —
+    the fixpoint tail is fixed-cost-dominated at every parallelism.
     """
     edges = pairs.select(
         F.col("url_a").alias("u"), F.col("url_b").alias("v")
     ).filter(F.col("u") != F.col("v"))
+
+    # small inputs skip the star machinery entirely: the first probe
+    # the star loop would run costs more than the finish itself
+    first_cnt = edges.limit(tail_rows + 1).count() if tail_rows else None
+    if tail_rows and first_cnt <= tail_rows:
+        if first_cnt == 0:
+            return edges.select(
+                F.col("u").alias("url"), F.col("v").alias("cluster_id")
+            )
+        return _union_find_finish(edges)
 
     # Per-round convergence probe: an order-independent fingerprint
     # (count, xor of xxhash64(u,v)) of the edge SET.  One shuffle-free
@@ -89,6 +159,10 @@ def connected_components(
                 F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
             ).first()
         )
+        if tail_rows and fp[0] <= tail_rows and fp != prev_fp:
+            # the relation shrank under the tail bar mid-iteration:
+            # finish in one task instead of more fixed-cost rounds
+            return _union_find_finish(edges)
         if fp == prev_fp:
             # Converged iff the relation is a star forest: no child's
             # parent (v) is itself a child (appears as some u) — i.e.

@@ -235,7 +235,16 @@ def run_pipeline(
     all_edges = edge_frames[0]
     for e in edge_frames[1:]:
         all_edges = all_edges.unionByName(e)
-    all_edges = all_edges.distinct()
+    # Barrier the union BEFORE connected components: large-star
+    # references the edge relation 4x (sym union + m-join), and
+    # without a barrier each reference drags the full upstream —
+    # measured at 4M docs/local[8]: the ~6.3 GB simhash key-table
+    # exchange ran THREE times as concurrent AQE query stages
+    # (exchange-reuse canonicalization that held at 2M broke at 4M),
+    # ~90 s of the 8-core leg's wall.  A ~100 B/edge parquet barrier
+    # makes the fan-out O(edges), deterministically, at every scale.
+    # (run_checkpointed already barriers edges via sr.run("edges").)
+    all_edges = _materialize(all_edges.distinct(), "edges", root)
 
     comps = cluster_op.connected_components(all_edges, cfg.max_cc_rounds)
     assignment = assign_op.assignments(pages, comps)

@@ -34,3 +34,42 @@ def test_star_and_selfloops(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "url_a string, url_b string")
     assert connected_components(df).count() == 0
+
+
+def test_tail_union_find_parity(spark):
+    """The single-task union-find tail must produce EXACTLY the star
+    rounds' assignments on random graphs (tail disabled via
+    tail_rows=0 vs forced via the default threshold)."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 150
+        edges = [
+            (f"v{rng.randrange(n):03d}", f"v{rng.randrange(n):03d}")
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(edges, "url_a string, url_b string")
+        stars = {
+            r["url"]: r["cluster_id"]
+            for r in connected_components(df, tail_rows=0).collect()
+        }
+        uf = {
+            r["url"]: r["cluster_id"]
+            for r in connected_components(df).collect()
+        }
+        assert stars == uf
+
+
+def test_mid_loop_tail_switch(spark):
+    """A chain long enough to run at least one star round before the
+    relation shrinks under a tiny tail bar — exercises the in-loop
+    switch path and must still converge to the chain minimum."""
+    n = 60
+    edges = [(f"n{i:04d}", f"n{i+1:04d}") for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "url_a string, url_b string")
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(df, tail_rows=40).collect()
+    }
+    assert set(got.values()) == {"n0000"} and len(got) == n
