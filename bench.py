@@ -67,6 +67,7 @@ HEADLINE = [
     # byte-level Rabin CDC pass (map-only, vectorized kernels)
     "bloom_fp_lookup",
     "cdc_chunk_certificate",
+    "optimized_min_features",
 ]
 
 

@@ -1749,6 +1749,105 @@ FROM documents
 """
 
 
+OPTMIN_R = 16   # sampling ratio (destor index_sampling_method[1])
+OPTMIN_OFF = 8  # feature emitted OFF positions before the anchor
+
+
+def q_optimized_min_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """destor's OPTIMIZED-MIN sampling (SURVEY F2,
+    /root/reference/src/index/sampling_method.c:81-170): the anchors
+    are the bottom-k fingerprints of the segment, but each anchor
+    emits as its FEATURE the fingerprint OFF=8 positions EARLIER
+    (clamped to the segment start) — decoupling the feature from the
+    anchor boundary.  k = n/R, +1 when 2*(n%R) > R, and 1 whenever
+    n <= R (:84-94); tie order is (fingerprint, arrival position)
+    because insert_sorted appends after equals and the trim removes
+    the last (:124-143).  Shingle md5s play the chunk-fingerprint
+    role; identical arithmetic in the DuckDB oracle.  All JVM-side
+    (array ops inside codegen), one row per doc, no shuffle."""
+    d = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", _tokens(F.col("text")).alias("w")
+    )
+    sh = d.filter(F.size("w") >= K).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - F.lit(K - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("w"), i, K), " ")),
+        ).alias("h"),
+    )
+    n = F.size("h")
+    k = F.when(
+        n > OPTMIN_R,
+        (n / OPTMIN_R).cast("int")
+        + F.when((n % OPTMIN_R) * 2 > OPTMIN_R, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).otherwise(F.lit(1))
+    ranked = sh.select(
+        "doc_id",
+        "h",
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.struct(
+                        F.element_at("h", i).alias("a"), i.alias("i")
+                    ),
+                )
+            ),
+            F.lit(1),
+            k,
+        ).alias("top"),
+    )
+    feats = ranked.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    "top",
+                    lambda s: F.element_at(
+                        "h",
+                        F.greatest(s["i"] - OPTMIN_OFF, F.lit(1)),
+                    ),
+                )
+            )
+        ).alias("features"),
+    )
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("n_features"),
+        F.md5(F.array_join("features", "|")).alias("feature_md5"),
+    )
+
+
+SQL_OPTIMIZED_MIN_FEATURES = f"""
+WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
+           FROM documents),
+s AS (SELECT doc_id,
+             list_transform(range(1, greatest(len(w)-{K-1},0)+1),
+                            i -> md5(array_to_string(w[i:i+{K-1}], ' '))) AS h
+      FROM d WHERE len(w) >= {K}),
+r AS (SELECT doc_id, h,
+             CASE WHEN len(h) > {OPTMIN_R}
+                  THEN (len(h) // {OPTMIN_R})
+                       + CASE WHEN (len(h) % {OPTMIN_R}) * 2 > {OPTMIN_R}
+                              THEN 1 ELSE 0 END
+                  ELSE 1 END AS k,
+             list_sort(list_transform(range(1, len(h)+1),
+                                      i -> {{'a': h[i], 'i': i}})) AS srt
+      FROM s),
+f AS (SELECT doc_id,
+             list_sort(list_distinct(
+                 list_transform(list_slice(srt, 1, k),
+                                x -> h[greatest(x.i - {OPTMIN_OFF}, 1)])))
+             AS features
+      FROM r)
+SELECT doc_id, len(features) AS n_features,
+       md5(array_to_string(features, '|')) AS feature_md5
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1787,6 +1886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rewrite_decisions": q_rewrite_decisions,
     "bloom_fp_lookup": q_bloom_fp_lookup,
     "cdc_chunk_certificate": q_cdc_chunk_certificate,
+    "optimized_min_features": q_optimized_min_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1828,4 +1928,5 @@ ORACLE_SQL: dict[str, str] = {
     "rewrite_decisions": SQL_REWRITE_DECISIONS,
     "bloom_fp_lookup": SQL_BLOOM_FP_LOOKUP,
     "cdc_chunk_certificate": SQL_CDC_CHUNK_CERTIFICATE,
+    "optimized_min_features": SQL_OPTIMIZED_MIN_FEATURES,
 }
