@@ -231,6 +231,206 @@ def srp_topk(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse-quantizer "training": the n_cells corpus
+    vectors with the smallest md5(id) hex string.
+
+    This is the seeded-uniform sampling step of k-means|| init without
+    the refinement iterations — refinement moves recall, not the
+    operator's semantics (cell-restricted search), and md5-hex ordering
+    is portable verbatim to the DuckDB oracle, which is what makes the
+    whole IVF query hash-checkable.  destor analogue: sparse-index
+    champion sampling picks representative hooks by hash score
+    (/root/reference/src/index/sparse_index.c: hook selection), the
+    same sample-as-model move.
+    """
+    return (
+        emb.select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "cvec"
+            ),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "centroid_id")
+        .limit(n_cells)
+        .drop("_h")
+    )
+
+
+def _cent_struct_array(cents: DataFrame):
+    """Collapse the centroid relation into ONE broadcastable row holding
+    array<struct<centroid_id, cvec>> — the IVF "index model"."""
+    return F.broadcast(
+        cents.agg(
+            F.collect_list(F.struct("centroid_id", "cvec")).alias("_cents")
+        )
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    cents: DataFrame,
+    nprobe: int = 1,
+    id_alias: str = "vec_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) membership: every vector to its nprobe highest-cosine
+    centroids, entirely map-side.
+
+    Scale shape: the K centroids ride along as ONE broadcast row of
+    array<struct>; per input row a higher-order `transform` scores all
+    K cells (struct(-msim, centroid_id)), `array_sort` + `slice` keep
+    the nprobe best — no shuffle, no per-vector window, no Python.
+    msim is integer micro-units so the argmax is portable to the DuckDB
+    oracle (ties broken by centroid_id ASC on both engines).  K is
+    bounded by the broadcast ceiling (K ~ sqrt(N) ~ 10^6 cells x 64
+    dims x 8 B ~ 500 MB at 10^12 docs); past ~10^3 cells the O(K)
+    fold per row should move to ivf_assign_matmul (same semantics,
+    BLAS throughput), parity-gated in tests/test_ann_recall.py.
+    """
+    v = emb.select(
+        F.col(id_col).alias(id_alias),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (-(
+                F.round(cosine_sim(F.col("_v"), c["cvec"]) * 1_000_000)
+                .cast("bigint")
+            )).alias("neg_msim"),
+            c["centroid_id"].alias("cell"),
+        ),
+    )
+    return (
+        v.crossJoin(_cent_struct_array(cents))
+        .select(
+            id_alias,
+            F.explode(
+                F.slice(F.array_sort(scored), 1, nprobe)
+            ).alias("_best"),
+        )
+        .select(id_alias, F.col("_best.cell").alias("cell"))
+    )
+
+
+def ivf_assign_matmul(
+    emb: DataFrame,
+    cents_pd: "pd.DataFrame",
+    nprobe: int = 1,
+    id_alias: str = "vec_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The large-K scale path for ivf_assign: one numpy matmul per Arrow
+    batch against the (collected, bounded O(K x dim)) centroid matrix —
+    the quantizer is a model artifact, not data, so materializing it
+    driver-side is the standard IVF deployment shape.  Semantics are
+    identical to ivf_assign (micro-unit rounding, centroid_id ASC
+    tie-break via lexsort); parity is gated on the fixture corpus in
+    tests/test_ann_recall.py::test_ivf_assign_matmul_parity.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    order = np.argsort(cents_pd["centroid_id"].to_numpy(), kind="stable")
+    cent_ids = cents_pd["centroid_id"].to_numpy()[order].astype(np.int64)
+    cmat = np.asarray(
+        cents_pd["cvec"].to_numpy()[order].tolist(), dtype=np.float64
+    )
+    cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @pandas_udf(ArrayType(LongType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        msim = np.rint(mat @ cmat_n.T * 1_000_000).astype(np.int64)
+        # centroid columns are already in ascending-id order, so a
+        # stable sort on -msim breaks ties by centroid_id ASC
+        top = np.argsort(-msim, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(cent_ids[top].tolist())
+
+    return emb.select(
+        F.col(id_col).alias(id_alias),
+        F.explode(cells(F.col(vec_col))).alias("cell"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF-partitioned ANN: cell-restricted candidate join + exact
+    cosine re-rank — the inverted-file counterpart of srp_topk.
+
+    The corpus is assigned once to its best cell (map-side, no vector
+    duplication — contrast SRP's bands x N membership rows); queries
+    probe their nprobe nearest cells; the (cell) equality join yields
+    candidates and only candidates pay the exact re-rank.  Search cost
+    is ~nprobe/n_cells of the corpus per query, the IVF trade
+    (recall@k measured in tests/test_ann_recall.py).  Every step is
+    deterministic (md5-sampled centroids, integer micro-cosine,
+    id-ASC tie-breaks), so the full operator — quantizer, assignment,
+    probe, re-rank — has an exact DuckDB twin
+    (queries.SQL_IVF_ANN_TOPK).  destor analogue: segment prefetch
+    restricted to champion-indexed containers rather than the full
+    index (/root/reference/src/index/sparse_index.c).
+    """
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    corpus_cells = ivf_assign(emb, cents, 1, "neighbor_id", id_col, vec_col)
+    query_cells = ivf_assign(queries, cents, nprobe, "query_id", id_col, vec_col)
+    if broadcast_queries:
+        query_cells = F.broadcast(query_cells)
+    cand = (
+        query_cells.join(corpus_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qv"), F.col("cv")) * 1_000_000)
+            .cast("bigint")
+            .alias("msim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("msim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "msim")
+    )
+
+
 def near_dup_band_relation(
     emb: DataFrame,
     dim: int,

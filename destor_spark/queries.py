@@ -730,6 +730,70 @@ SELECT query_id, rank, neighbor_id, msim FROM ranked WHERE rank <= 10
 """
 
 
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN top-10 (operators/ann.ivf_topk): md5-sampled
+    coarse quantizer (16 cells), map-side cell assignment, queries
+    (vec_id % 100 == 0) probe their 4 nearest cells, exact micro-cosine
+    re-rank inside the probed cells only.  Unlike srp_ann_topk — whose
+    oracle is brute force because fixture recall is deterministically
+    1.0 — this oracle mirrors the IVF semantics themselves (quantizer,
+    argmax assignment, probe set, re-rank), so the hash gate checks the
+    cell-restriction logic, not just the ranking."""
+    from destor_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(
+        emb, queries, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, k=10
+    )
+
+
+_SQL_MICRO_COS = """CAST(round(1000000.0 *
+      list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))) AS BIGINT)"""
+
+SQL_IVF_ANN_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_CELLS}),
+cell_scores AS (
+  SELECT e.vec_id AS vid, c.centroid_id AS cell,
+         {_SQL_MICRO_COS.format(a='e.embedding', b='c.cvec')} AS am
+  FROM embeddings e, cents c),
+cell_ranked AS (
+  SELECT vid, cell,
+         row_number() OVER (PARTITION BY vid
+                            ORDER BY am DESC, cell ASC) AS crnk
+  FROM cell_scores),
+corpus_cells AS (SELECT vid AS neighbor_id, cell FROM cell_ranked
+                 WHERE crnk = 1),
+query_cells AS (SELECT vid AS query_id, cell FROM cell_ranked
+                WHERE crnk <= {_IVF_NPROBE} AND vid % 100 = 0),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM query_cells q JOIN corpus_cells n USING (cell)
+  WHERE query_id != neighbor_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_SQL_MICRO_COS.format(a='qe.embedding', b='ne.embedding')} AS msim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, msim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY msim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, msim FROM ranked WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational / metrics family (SURVEY 2.7, 2.8)
 # ---------------------------------------------------------------------------
@@ -1865,6 +1929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "token_topk": q_token_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "events_rollup": q_events_rollup,
     "sessionize": q_sessionize,
@@ -1902,6 +1967,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_scores": SQL_QUALITY_SCORES,
     "token_topk": SQL_TOKEN_TOPK,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ivf_ann_topk": SQL_IVF_ANN_TOPK,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
     "events_rollup": SQL_EVENTS_ROLLUP,
     "sessionize": SQL_SESSIONIZE,

@@ -174,3 +174,78 @@ def test_srp_driver_query_equals_brute(spark, sf):
         .reset_index(drop=True)
     )
     assert sp[du.columns.tolist()].astype("int64").equals(du.astype("int64"))
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_ivf_driver_query_matches_duckdb(spark, sf):
+    """The IVF oracle (SQL_IVF_ANN_TOPK) mirrors the operator's own
+    semantics — md5-sampled quantizer, argmax cell assignment, nprobe
+    probe set, cell-restricted re-rank — so this is a real cross-engine
+    gate on the cell-restriction logic, not a recall coincidence."""
+    import duckdb
+
+    import destor_spark.queries as Q
+
+    sp = (
+        Q.q_ivf_ann_topk(spark, sf)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "create view embeddings as select * from "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    du = (
+        con.sql(Q.SQL_IVF_ANN_TOPK)
+        .df()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert sp[du.columns.tolist()].astype("int64").equals(du.astype("int64"))
+
+
+def test_ivf_assign_matmul_parity(spark):
+    """The numpy-matmul scale path assigns every vector to the SAME
+    cells as the oracle-exact JVM higher-order-function path (micro
+    rounding + centroid_id tie-break reproduced via stable lexsort)."""
+    from destor_spark.operators.ann import (
+        ivf_assign,
+        ivf_assign_matmul,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_cells=16)
+    cents_pd = cents.toPandas()
+    for nprobe in (1, 4):
+        jvm = {
+            (r.vec_id, r.cell)
+            for r in ivf_assign(emb, cents, nprobe=nprobe).collect()
+        }
+        mm = {
+            (r.vec_id, r.cell)
+            for r in ivf_assign_matmul(
+                emb, cents_pd, nprobe=nprobe
+            ).collect()
+        }
+        assert jvm == mm
+
+
+def test_ivf_topk_recall_and_candidate_fraction(spark):
+    """IVF's trade made visible: at 16 cells / nprobe 4 the re-rank
+    touches roughly nprobe/n_cells of the corpus while recall@10 stays
+    well above the probed fraction (near neighbors concentrate in the
+    query's own cells).  Floors are pinned from measurement at
+    sf0.001 so a quantizer/assignment regression trips the gate."""
+    from destor_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    bf = brute_force_topk(emb, qs, k=10).toPandas()
+    iv = ivf_topk(emb, qs, n_cells=16, nprobe=4, k=10).toPandas()
+    rec = _recall_at_10(bf, iv)
+    assert rec >= 0.30, f"IVF recall@10 collapsed: {rec}"
