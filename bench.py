@@ -68,6 +68,9 @@ HEADLINE = [
     "bloom_fp_lookup",
     "cdc_chunk_certificate",
     "optimized_min_features",
+    # r5: IVF-partitioned ANN (cell-restricted search, the inverted-file
+    # counterpart of srp_ann_topk)
+    "ivf_ann_topk",
 ]
 
 

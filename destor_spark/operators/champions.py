@@ -66,6 +66,8 @@ def greedy_champions(
     )
 
     def pick_partition(frames):
+        import numpy as np
+
         chunks = list(frames)
         if not chunks:
             return
@@ -76,17 +78,23 @@ def greedy_champions(
         )
         rows = []
         for q, g in pdf.groupby("q"):
-            feats: dict[int, set] = {}
-            for c, s in zip(g["cand"].to_numpy(), g["s"].to_numpy()):
-                feats.setdefault(int(c), set()).add(s)
+            # (cand x feature) boolean incidence matrix; candidates
+            # factorized in ASCENDING id order so argmax's first-max
+            # rule IS the smallest-id tie-break destor leaves
+            # unspecified and we pin
+            ccodes, cids = pd.factorize(g["cand"], sort=True)
+            scodes, _ = pd.factorize(g["s"])
+            m = np.zeros((len(cids), len(_)), dtype=bool)
+            m[ccodes, scodes] = True
             for rnk in range(1, k + 1):
-                if not feats:
+                counts = m.sum(axis=1)
+                best = int(np.argmax(counts))
+                n_hit = int(counts[best])
+                if n_hit == 0:
                     break
-                # max shared count, ties -> smallest candidate id
-                best = max(feats, key=lambda c: (len(feats[c]), -c))
-                hit = feats.pop(best)
-                rows.append((int(q), rnk, best, len(hit)))
-                feats = {c: s - hit for c, s in feats.items() if s - hit}
+                rows.append((int(q), rnk, int(cids[best]), n_hit))
+                # trim: champion's hit features vanish from everyone
+                m &= ~m[best]
         yield pd.DataFrame(
             rows, columns=["doc_id", "rnk", "champion", "n_hits"]
         )

@@ -126,6 +126,16 @@ def build_session(
     # here so EVERY harness (perf_scaling/perf_opportunistic/
     # perf_heap_ab) inherits it — the r5 heap A/B passed this env var
     # but only perf_stages.py's private snippet consumed it.
+    # Crashed-worker diagnosability (opt-in, same pattern as event
+    # logs): a Python worker that dies in native code (numpy/Arrow)
+    # otherwise surfaces only as "Python worker exited unexpectedly"
+    # with no traceback — one 4M sampler leg was lost to exactly that.
+    # faulthandler dumps the Python stack of the crashing worker into
+    # the executor log.  Off by default: it wraps every UDF launch.
+    if os.environ.get("SPARK_GRAFT_FAULTHANDLER"):
+        b = b.config(
+            "spark.sql.execution.pyspark.udf.faulthandler.enabled", "true"
+        ).config("spark.python.worker.faulthandler.enabled", "true")
     evdir = os.environ.get("SPARK_GRAFT_EVENT_DIR")
     if evdir:
         os.makedirs(evdir, exist_ok=True)

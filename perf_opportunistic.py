@@ -58,6 +58,11 @@ def one_run(cores: int, path: str) -> dict:
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
         SPARK_GRAFT_MAT_DIR="/dev/shm/destor_mat",
         SPARK_LOCAL_DIRS="/dev/shm/destor_spark_local",
+        # a leg that dies in native code should leave a Python stack in
+        # the log, not just "Python worker exited unexpectedly" (one 4M
+        # leg was lost that way); sampler legs are diagnostics, so the
+        # per-UDF-launch overhead is acceptable here
+        SPARK_GRAFT_FAULTHANDLER="1",
     )
     os.makedirs("/dev/shm/destor_mat", exist_ok=True)
     os.makedirs("/dev/shm/destor_spark_local", exist_ok=True)
