@@ -145,3 +145,19 @@ def test_query_barrier_previous_generation_survives_until_commit(spark):
     assert second.count() == 50
     live = [d for d in os.listdir(root) if d.startswith("gen_probe_g")]
     assert len(live) == 1
+
+
+def test_ivf_assign_is_map_side(spark):
+    """IVF cell assignment must compile to a broadcast of the single
+    centroid-array row plus per-row HOF scoring — NO shuffle exchange
+    of the corpus (the property that makes assignment O(N) map work at
+    10^12 rows).  The only exchange allowed is inside the centroid
+    TakeOrderedAndProject itself."""
+    from destor_spark.operators.ann import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_cells=16)
+    plan = _plan(ivf_assign(emb, cents, nprobe=1))
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
