@@ -71,6 +71,8 @@ HEADLINE = [
     # r5: IVF-partitioned ANN (cell-restricted search, the inverted-file
     # counterpart of srp_ann_topk)
     "ivf_ann_topk",
+    # r5: batch incremental dedup — destor's per-version index lookup
+    "incremental_dedup",
 ]
 
 

@@ -160,6 +160,93 @@ FROM documents
 """
 
 
+# Deterministic planted delta batch for the incremental query: the sf
+# documents tables have NO exact duplicates (500/500 distinct md5), so
+# an incremental gate over the raw table would be vacuous.  The delta
+# re-emits base texts / derived texts under offset ids, exercising all
+# three assignment outcomes; the DuckDB oracle constructs the IDENTICAL
+# delta, so the gate compares a known non-trivial batch.
+_INC_BASE_HIT_OFF = 10_000_000   # exact re-crawl of every 5th base doc
+_INC_NOVEL_OFF = 20_000_000      # edited (' v2') copy of every 7th==3 doc
+_INC_PAIR_OFF_A = 30_000_000     # ' v3' twin A  } batch-internal dup
+_INC_PAIR_OFF_B = 31_000_000     # ' v3' twin B  } group (11th==5 docs)
+
+
+def _planted_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _INC_BASE_HIT_OFF).alias("doc_id"), "text"
+    )
+    edited = d.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + _INC_NOVEL_OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    twin = d.filter(F.col("doc_id") % 11 == 5)
+    twin_a = twin.select(
+        (F.col("doc_id") + _INC_PAIR_OFF_A).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v3")).alias("text"),
+    )
+    twin_b = twin.select(
+        (F.col("doc_id") + _INC_PAIR_OFF_B).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v3")).alias("text"),
+    )
+    return recrawl.unionByName(edited).unionByName(twin_a).unionByName(
+        twin_b
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch incremental dedup (operators/incremental.py): a new crawl
+    batch is assigned against the EXISTING corpus without recomputing
+    or disturbing base assignments — destor's per-version index lookup
+    (index.c index_lookup; do_backup.c version loop) as one bounded
+    relational stage.  base_hit rows join the base canonical even
+    though their own ids are larger; novel texts dedup among the batch
+    (min-id canonical).  The oracle mirrors the semantics clause for
+    clause, including the planted delta construction."""
+    from destor_spark.operators.incremental import incremental_exact_assign
+
+    base = _t(spark, sf_dir, "documents")
+    delta = _planted_delta(spark, sf_dir)
+    return incremental_exact_assign(base, delta)
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH delta AS (
+  SELECT doc_id + {_INC_BASE_HIT_OFF} AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + {_INC_NOVEL_OFF}, text || ' v2'
+  FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + {_INC_PAIR_OFF_A}, text || ' v3'
+  FROM documents WHERE doc_id % 11 = 5
+  UNION ALL
+  SELECT doc_id + {_INC_PAIR_OFF_B}, text || ' v3'
+  FROM documents WHERE doc_id % 11 = 5),
+base_index AS (
+  SELECT md5(text) AS h, min(doc_id) AS canonical
+  FROM documents GROUP BY 1),
+joined AS (
+  SELECT d.doc_id, md5(d.text) AS h, b.canonical
+  FROM delta d LEFT JOIN base_index b ON md5(d.text) = b.h),
+hits AS (
+  SELECT doc_id, canonical AS cluster_id, 'base_hit' AS status
+  FROM joined WHERE canonical IS NOT NULL),
+misses AS (SELECT doc_id, h FROM joined WHERE canonical IS NULL),
+new_groups AS (
+  SELECT h, min(doc_id) AS cluster_id FROM misses GROUP BY h),
+new_assign AS (
+  SELECT m.doc_id, g.cluster_id,
+         CASE WHEN m.doc_id = g.cluster_id THEN 'new_canonical'
+              ELSE 'batch_dup' END AS status
+  FROM misses m JOIN new_groups g USING (h))
+SELECT doc_id, cluster_id, status FROM hits
+UNION ALL
+SELECT doc_id, cluster_id, status FROM new_assign
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (verification-style join;
     destor similarity scoring = shared-feature counting,
@@ -1919,6 +2006,7 @@ FROM f
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dup_groups": q_exact_dup_groups,
     "dedup_ratio": q_dedup_ratio,
+    "incremental_dedup": q_incremental_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "topk_similar_docs": q_topk_similar_docs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1957,6 +2045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "dedup_ratio": SQL_DEDUP_RATIO,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "topk_similar_docs": SQL_TOPK_SIMILAR_DOCS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,

@@ -1,0 +1,87 @@
+"""Batch incremental dedup contract (operators/incremental.py).
+
+destor's per-version semantics (index.c index_lookup; do_backup.c):
+the stored copy wins — a new batch never disturbs existing
+assignments — and novel content dedups within the batch.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from destor_spark.operators.incremental import incremental_exact_assign
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_incremental_contract_semantics(spark):
+    """STABILITY: a delta doc with a SMALLER id than the base canonical
+    still joins the base canonical (the stored copy wins, exactly like
+    a duplicate chunk referencing the existing container).  CLOSURE:
+    unmatched delta texts dedup among themselves, min-id canonical."""
+    base = spark.createDataFrame(
+        [(10, "a"), (11, "b"), (12, "a")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(1, "a"), (2, "c"), (3, "c"), (4, "d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.status)
+        for r in incremental_exact_assign(base, delta).collect()
+    }
+    assert got == {
+        1: (10, "base_hit"),  # id 1 < 10, but base canonical wins
+        2: (2, "new_canonical"),
+        3: (2, "batch_dup"),
+        4: (4, "new_canonical"),
+    }
+
+
+def test_incremental_base_never_in_output(spark):
+    """The output covers exactly the delta — base rows are never
+    re-assigned (bounded per-batch output)."""
+    import destor_spark.queries as Q
+
+    out = Q.q_incremental_dedup(spark, SF_DIR).toPandas()
+    assert (out["doc_id"] >= Q._INC_BASE_HIT_OFF).all()
+    assert set(out["status"]) == {"base_hit", "new_canonical", "batch_dup"}
+    # every planted re-crawl row hits base and points AT the base id
+    hits = out[out["status"] == "base_hit"]
+    assert (hits["cluster_id"] == hits["doc_id"] - Q._INC_BASE_HIT_OFF).all()
+    # the ' v3' twins pair up: A is canonical (smaller id), B is the dup
+    dups = out[out["status"] == "batch_dup"]
+    assert (dups["doc_id"] - dups["cluster_id"] == (
+        Q._INC_PAIR_OFF_B - Q._INC_PAIR_OFF_A
+    )).all() and len(dups) > 0
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_incremental_driver_query_matches_duckdb(spark, sf):
+    import destor_spark.queries as Q
+
+    sp = (
+        Q.q_incremental_dedup(spark, sf)
+        .toPandas()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    du = (
+        con.sql(Q.SQL_INCREMENTAL_DEDUP)
+        .df()
+        .sort_values(["doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(sp) == len(du) > 0
+    assert sp[["doc_id", "cluster_id"]].astype("int64").equals(
+        du[["doc_id", "cluster_id"]].astype("int64")
+    )
+    assert sp["status"].tolist() == du["status"].tolist()
