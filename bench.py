@@ -73,6 +73,8 @@ HEADLINE = [
     "ivf_ann_topk",
     # r5: batch incremental dedup — destor's per-version index lookup
     "incremental_dedup",
+    # r5: one-sided containment (excerpt/quotation detection)
+    "containment_pairs",
 ]
 
 

@@ -320,6 +320,96 @@ WHERE CAST(round(1000000.0 * n_common / (sa.n + sb.n - n_common)) AS BIGINT) >= 
 """
 
 
+# Planted excerpts for the containment query: every 13th==2 doc also
+# appears as its own first-60-token excerpt under an offset id, so the
+# asymmetric containment relation (excerpt ⊂ source but not vice versa)
+# is guaranteed non-vacuous; the oracle constructs the identical corpus.
+_CONT_EXC_OFF = 40_000_000
+_CONT_EXC_WORDS = 60
+_CONT_THRESH_PPM = 800_000
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided shingle containment C(a in b) = |sh(a) ∩ sh(b)| / |sh(a)|
+    (Broder's containment measure — the quotation/excerpt detector
+    Jaccard misses: a 60-word excerpt of a 1000-word page has Jaccard
+    ~0.06 but containment 1.0).  Same portable K-shingle family and
+    DF_CAP boilerplate rule as ngram_jaccard_pairs; output is ORDERED
+    pairs (doc_src, doc_in) with containment >= 0.8.  destor scoring
+    analogue: shared-feature counting normalized by the QUERY side's
+    feature count (/root/reference/src/index/similarity_detection.c:85-98)."""
+    d = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", _tokens(F.col("text")).alias("w")
+    )
+    exc = d.filter(F.col("doc_id") % 13 == 2).select(
+        (F.col("doc_id") + _CONT_EXC_OFF).alias("doc_id"),
+        F.slice("w", 1, _CONT_EXC_WORDS).alias("w"),
+    )
+    sh = (
+        d.unionByName(exc)
+        .filter(F.size("w") >= K)
+        .select("doc_id", _shingles(F.col("w")).alias("sh"))
+    )
+    e0 = sh.select("doc_id", F.explode("sh").alias("s"))
+    hot = (
+        e0.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("s")
+    )
+    e = _barrier(e0.join(F.broadcast(hot), "s", "left_anti"), "cont_e")
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        e.alias("a")
+        .join(e.alias("b"), "s")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_src"),
+            F.col("b.doc_id").alias("doc_in"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_src"), "doc_src")
+        .select(
+            "doc_src",
+            "doc_in",
+            "n_common",
+            F.round(F.lit(1_000_000) * F.col("n_common") / F.col("n"))
+            .cast("bigint")
+            .alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= _CONT_THRESH_PPM)
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH w0 AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
+            FROM documents),
+wall AS (
+  SELECT doc_id, w FROM w0
+  UNION ALL
+  SELECT doc_id + {_CONT_EXC_OFF}, w[1:{_CONT_EXC_WORDS}]
+  FROM w0 WHERE doc_id % 13 = 2),
+d AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w)-{K-1},0)+1),
+                           i -> array_to_string(w[i:i+{K-1}], ' '))) AS sh
+      FROM wall WHERE len(w) >= {K}),
+e0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > {DF_CAP}),
+e AS (SELECT doc_id, s FROM e0
+      WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.s = e0.s)),
+sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_src, b.doc_id AS doc_in, count(*) AS n_common
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id != b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_src, doc_in, n_common,
+       CAST(round(1000000.0 * n_common / sa.n) AS BIGINT) AS containment_ppm
+FROM inter JOIN sizes sa ON doc_src = sa.doc_id
+WHERE CAST(round(1000000.0 * n_common / sa.n) AS BIGINT) >= {_CONT_THRESH_PPM}
+"""
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable MinHash+LSH: md5-string minima as the permutation family
     (destor min-fp sampling, /root/reference/src/index/sampling_method.c:12-76),
@@ -2008,6 +2098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ratio": q_dedup_ratio,
     "incremental_dedup": q_incremental_dedup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "topk_similar_docs": q_topk_similar_docs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
@@ -2047,6 +2138,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ratio": SQL_DEDUP_RATIO,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "topk_similar_docs": SQL_TOPK_SIMILAR_DOCS,
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash": SQL_SIMHASH,

@@ -85,3 +85,48 @@ def test_incremental_driver_query_matches_duckdb(spark, sf):
         du[["doc_id", "cluster_id"]].astype("int64")
     )
     assert sp["status"].tolist() == du["status"].tolist()
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_containment_driver_query_matches_duckdb(spark, sf):
+    """One-sided containment (excerpt/quotation detector): Spark and
+    DuckDB agree value-for-value on the planted-excerpt corpus, and the
+    planted excerpts are found with containment ~1.0 (the asymmetric
+    relation Jaccard misses)."""
+    import destor_spark.queries as Q
+
+    cols = ["doc_src", "doc_in", "n_common", "containment_ppm"]
+    sp = (
+        Q.q_containment_pairs(spark, sf)
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    du = (
+        con.sql(Q.SQL_CONTAINMENT_PAIRS)
+        .df()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(sp) == len(du) > 0
+    assert sp.astype("int64").equals(du.astype("int64"))
+    # every planted excerpt is contained in its source...
+    exc = sp[sp["doc_src"] >= Q._CONT_EXC_OFF]
+    planted = exc[exc["doc_in"] == exc["doc_src"] - Q._CONT_EXC_OFF]
+    assert len(planted) > 0
+    assert (planted["containment_ppm"] >= 990_000).all()
+    # ...and the relation is genuinely asymmetric for long sources:
+    # at least one source is NOT contained in its own excerpt
+    rev = set(zip(sp["doc_src"], sp["doc_in"]))
+    missing_reverse = [
+        (b, a) for a, b in zip(planted["doc_src"], planted["doc_in"])
+        if (b, a) not in rev
+    ]
+    assert missing_reverse, "containment should not be symmetric here"
