@@ -503,6 +503,160 @@ WHERE CAST(list_sum(list_transform(range(1, {NUM_MH}+1),
 """
 
 
+def _shingles_of(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, sh) with the portable K-shingle rules."""
+    d = df.select("doc_id", _tokens(F.col("text")).alias("w"))
+    return d.filter(F.size("w") >= K).select(
+        "doc_id", _shingles(F.col("w")).alias("sh")
+    )
+
+
+def _portable_minhash(sh_df: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, mh): md5-string minima, NUM_MH perms."""
+    return sh_df.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(NUM_MH - 1)),
+            lambda p: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s)),
+                )
+            ),
+        ).alias("mh"),
+    )
+
+
+def _mh_bands(mh_df: DataFrame) -> DataFrame:
+    """(doc_id, mh) -> (doc_id, band, key): MH_BANDS x MH_ROWS banding."""
+    return mh_df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(
+                        F.slice(F.col("mh"), b * MH_ROWS + 1, MH_ROWS), "|"
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup links: the delta batch's MinHash bands probe
+    the BASE corpus's band relation — delta-vs-base candidates only,
+    verified by signature agreement (>= half of NUM_MH), so per-batch
+    cost is bounded by the delta and base-base pairs are never
+    recomputed.  The delta band relation is broadcast: the stored base
+    band relation (the index a production deployment keeps
+    materialized — streaming/dedup_stream.py's band store is the
+    micro-batch form of the same shape) is scanned ONCE map-side with
+    an in-memory probe of the batch, no base shuffle.  destor
+    analogue: per-version segment lookup against the accumulated
+    similarity index (/root/reference/src/index/index.c:61-118).
+    Delta = the same planted batch as incremental_dedup: exact
+    re-crawls link at n_match = NUM_MH, ' v2'/' v3' edits link as true
+    near-dups (append-only edits keep every original shingle)."""
+    base_sh = _shingled_docs(spark, sf_dir)
+    delta_sh = _shingles_of(_planted_delta(spark, sf_dir))
+    mh_base = _barrier(_portable_minhash(base_sh), "inc_mh_base")
+    mh_delta = _barrier(_portable_minhash(delta_sh), "inc_mh_delta")
+    cand = (
+        _mh_bands(mh_base)
+        .alias("b")
+        .join(
+            F.broadcast(_mh_bands(mh_delta).alias("d")), ["band", "key"]
+        )
+        .select(
+            F.col("d.doc_id").alias("doc_delta"),
+            F.col("b.doc_id").alias("doc_base"),
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            mh_delta.select(
+                F.col("doc_id").alias("doc_delta"), F.col("mh").alias("md")
+            ),
+            "doc_delta",
+        )
+        .join(
+            mh_base.select(
+                F.col("doc_id").alias("doc_base"), F.col("mh").alias("mb")
+            ),
+            "doc_base",
+        )
+        .select(
+            "doc_delta",
+            "doc_base",
+            F.aggregate(
+                F.zip_with("md", "mb", lambda x, y: (x == y).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("n_match"),
+        )
+        .filter(F.col("n_match") * 2 >= NUM_MH)
+    )
+
+
+def _sql_shingled_of(rel: str) -> str:
+    return f"""SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w)-{K-1},0)+1),
+                       i -> array_to_string(w[i:i+{K-1}], ' '))) AS sh
+  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
+        FROM {rel})
+  WHERE len(w) >= {K}"""
+
+
+def _sql_mh_of(rel: str) -> str:
+    return f"""SELECT doc_id,
+        list_transform(range({NUM_MH}), p ->
+          list_aggregate(list_transform(sh, s -> md5(p::varchar || ':' || s)), 'min')) AS mh
+       FROM {rel}"""
+
+
+def _sql_bands_of(rel: str) -> str:
+    return f"""SELECT doc_id, b AS band,
+            array_to_string(mh[b*{MH_ROWS}+1 : b*{MH_ROWS}+{MH_ROWS}], '|') AS key
+          FROM {rel}, unnest(range({MH_BANDS})) AS t(b)"""
+
+
+SQL_INCREMENTAL_NEAR_DUP = f"""
+WITH delta AS (
+  SELECT doc_id + {_INC_BASE_HIT_OFF} AS doc_id, text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + {_INC_NOVEL_OFF}, text || ' v2'
+  FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + {_INC_PAIR_OFF_A}, text || ' v3'
+  FROM documents WHERE doc_id % 11 = 5
+  UNION ALL
+  SELECT doc_id + {_INC_PAIR_OFF_B}, text || ' v3'
+  FROM documents WHERE doc_id % 11 = 5),
+d_base AS ({_SQL_SHINGLED}),
+d_delta AS ({_sql_shingled_of('delta')}),
+mh_base AS ({_sql_mh_of('d_base')}),
+mh_delta AS ({_sql_mh_of('d_delta')}),
+bands_base AS ({_sql_bands_of('mh_base')}),
+bands_delta AS ({_sql_bands_of('mh_delta')}),
+cand AS (SELECT DISTINCT d.doc_id AS doc_delta, b.doc_id AS doc_base
+         FROM bands_delta d JOIN bands_base b
+           ON d.band = b.band AND d.key = b.key)
+SELECT doc_delta, doc_base,
+  CAST(list_sum(list_transform(range(1, {NUM_MH}+1),
+       i -> CASE WHEN md.mh[i] = mb.mh[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+FROM cand
+JOIN mh_delta md ON cand.doc_delta = md.doc_id
+JOIN mh_base mb ON cand.doc_base = mb.doc_id
+WHERE CAST(list_sum(list_transform(range(1, {NUM_MH}+1),
+       i -> CASE WHEN md.mh[i] = mb.mh[i] THEN 1 ELSE 0 END)) AS BIGINT) * 2 >= {NUM_MH}
+"""
+
+
 def _tok_hash64():
     return F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint")
 
@@ -2097,6 +2251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dup_groups": q_exact_dup_groups,
     "dedup_ratio": q_dedup_ratio,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_near_dup": q_incremental_near_dup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "containment_pairs": q_containment_pairs,
     "topk_similar_docs": q_topk_similar_docs,
@@ -2137,6 +2292,7 @@ ORACLE_SQL: dict[str, str] = {
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "dedup_ratio": SQL_DEDUP_RATIO,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "topk_similar_docs": SQL_TOPK_SIMILAR_DOCS,

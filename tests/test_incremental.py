@@ -130,3 +130,55 @@ def test_containment_driver_query_matches_duckdb(spark, sf):
         if (b, a) not in rev
     ]
     assert missing_reverse, "containment should not be symmetric here"
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_incremental_near_dup_matches_duckdb(spark, sf):
+    """Delta-vs-base MinHash band probe: Spark and DuckDB agree
+    value-for-value; links include both exact re-crawls (n_match ==
+    NUM_MH) and genuine near-dups (< NUM_MH) — the append-only ' v2'
+    edits keep every original shingle."""
+    import destor_spark.queries as Q
+
+    cols = ["doc_delta", "doc_base", "n_match"]
+    sp = (
+        Q.q_incremental_near_dup(spark, sf)
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    du = (
+        con.sql(Q.SQL_INCREMENTAL_NEAR_DUP)
+        .df()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(sp) == len(du) > 0
+    assert sp.astype("int64").equals(du.astype("int64"))
+    assert (sp["n_match"] == Q.NUM_MH).any()
+    assert (sp["n_match"] < Q.NUM_MH).any()
+    # every doc_base is a real base id, every doc_delta a planted one
+    assert (sp["doc_base"] < Q._INC_BASE_HIT_OFF).all()
+    assert (sp["doc_delta"] >= Q._INC_BASE_HIT_OFF).all()
+
+
+def test_incremental_near_dup_probe_shape(spark):
+    """The delta side must broadcast: the base band relation is scanned
+    map-side with an in-memory probe of the batch — the only join shape
+    whose base-side cost is a single scan at 10^12 stored docs."""
+    import destor_spark.queries as Q
+
+    plan = (
+        Q.q_incremental_near_dup(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
