@@ -75,6 +75,8 @@ HEADLINE = [
     "incremental_dedup",
     # r5: one-sided containment (excerpt/quotation detection)
     "containment_pairs",
+    # r5: delta-vs-base MinHash band probe (steady-state index lookup)
+    "incremental_near_dup",
 ]
 
 

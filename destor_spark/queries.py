@@ -416,36 +416,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded {MH_BANDS}x{MH_ROWS}, candidates = shared band, output =
     signature agreement count (>= half)."""
     sh = _shingled_docs(spark, sf_dir)
-    mh = sh.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(NUM_MH - 1)),
-            lambda p: F.array_min(
-                F.transform(
-                    F.col("sh"),
-                    lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s)),
-                )
-            ),
-        ).alias("mh"),
-    )
     # consumed by banding + two signature joins: barrier so the
     # 16x|shingles| md5 evaluations run once, not once per consumer
     # (and never through the pathological array columnar cache).
-    mh = _barrier(mh, "q_minhash_mh")
-    bands = mh.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(MH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.array_join(
-                        F.slice(F.col("mh"), b * MH_ROWS + 1, MH_ROWS), "|"
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    mh = _barrier(_portable_minhash(sh), "q_minhash_mh")
+    bands = _mh_bands(mh)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "key"])
