@@ -77,6 +77,8 @@ HEADLINE = [
     "containment_pairs",
     # r5: delta-vs-base MinHash band probe (steady-state index lookup)
     "incremental_near_dup",
+    # r5: whitespace vs BPE-ish pre-tokenizer accounting
+    "token_stats",
 ]
 
 

@@ -929,6 +929,51 @@ GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
 """
 
 
+# GPT-2-style pre-tokenizer classes WITHOUT the trailing-space
+# lookahead (RE2, DuckDB's engine, has no lookahead; Java and RE2 agree
+# on everything kept): a token is an optionally space-prefixed letter
+# run, digit run, or punctuation run.  This is the "BPE-ish" piece
+# count — the pre-tokenization that byte-pair merges start from — and
+# n_bpe/n_ws is the fertility-style stat a training-data pipeline
+# budgets with.
+_BPE_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token accounting: whitespace tokens vs BPE-ish
+    pre-tokenizer pieces (_BPE_RE) + fertility ppm.  Pure JVM codegen
+    (regexp_extract_all), one scan, no shuffle; destor analogue:
+    per-job chunk/byte counters (jcr.h:19-61) — the unit here is the
+    token budget instead of bytes."""
+    d = _t(spark, sf_dir, "documents")
+    n_ws = F.size(_tokens(F.col("text")))
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(F.lit(1_000_000) * n_bpe / F.greatest(n_ws, F.lit(1)))
+        .cast("bigint")
+        .alias("fertility_ppm"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_chars,
+       CAST(round(1000000.0 * n_bpe_tokens / greatest(n_ws_tokens, 1))
+            AS BIGINT) AS fertility_ppm
+FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text,' '), x -> x != '')) AS n_ws_tokens,
+         len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens,
+         length(text) AS n_chars
+  FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search family
 # ---------------------------------------------------------------------------
@@ -2237,6 +2282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_topk": q_token_topk,
+    "token_stats": q_token_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -2278,6 +2324,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
     "token_topk": SQL_TOKEN_TOPK,
+    "token_stats": SQL_TOKEN_STATS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ivf_ann_topk": SQL_IVF_ANN_TOPK,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
