@@ -182,3 +182,56 @@ def test_incremental_near_dup_probe_shape(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("seed", [0, 7, 23])
+def test_incremental_random_corpus_vs_pandas_reference(spark, seed):
+    """Randomized-corpus gate against an independent pandas reference:
+    small alphabet forces heavy collisions inside base, inside delta,
+    and across; ids are shuffled so min-id canonicals are exercised in
+    arbitrary arrival order."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    texts = [f"t{c}" for c in rng.integers(0, 12, size=60)]
+    ids = rng.permutation(1000 + np.arange(60))
+    base_pd = pd.DataFrame(
+        {"doc_id": ids[:35].astype("int64"), "text": texts[:35]}
+    )
+    delta_pd = pd.DataFrame(
+        {"doc_id": ids[35:].astype("int64"), "text": texts[35:]}
+    )
+    got = (
+        incremental_exact_assign(
+            spark.createDataFrame(base_pd), spark.createDataFrame(delta_pd)
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # independent reference
+    canon = base_pd.groupby("text")["doc_id"].min().to_dict()
+    rows = []
+    miss_canon: dict[str, int] = {}
+    for _, r in delta_pd.sort_values("doc_id").iterrows():
+        if r.text in canon:
+            rows.append((r.doc_id, canon[r.text], "base_hit"))
+        else:
+            c = miss_canon.setdefault(
+                r.text,
+                int(delta_pd[delta_pd.text == r.text].doc_id.min()),
+            )
+            rows.append(
+                (
+                    r.doc_id,
+                    c,
+                    "new_canonical" if r.doc_id == c else "batch_dup",
+                )
+            )
+    want = pd.DataFrame(
+        rows, columns=["doc_id", "cluster_id", "status"]
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "cluster_id": "int64"}), want.astype({"doc_id": "int64", "cluster_id": "int64"})
+    )
