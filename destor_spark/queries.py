@@ -2264,6 +2264,214 @@ FROM f
 
 
 # ---------------------------------------------------------------------------
+# corpus-curation family (LLM training-data filters; operators/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher rules): duplicate
+    whitespace-token fraction + top word-2-gram character fraction in
+    integer ppm, and the keep/flag decision at the published 0.18
+    top-2-gram threshold.  Plan: one scan, bigram explode combines
+    map-side, two hash aggs + one doc_id join — no corpus-wide window.
+    destor analogue: the in-container duplicate check
+    (/root/reference/src/backup/filter_phase.c index-buffer hit path)
+    restated inside one document."""
+    from destor_spark.operators.curation import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents")).withColumn(
+        "repetitive", F.col("repetitive").cast("int")
+    )
+
+
+SQL_GOPHER_REPETITION = """
+WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                  list_filter(string_split(text,' '), x -> x != '') AS w
+           FROM documents),
+base AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+                n_chars, w FROM t),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS bg
+       FROM base WHERE len(w) >= 2),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+top AS (SELECT doc_id, max(c * length(bg)) AS top_bg_chars FROM cnt GROUP BY doc_id),
+ppm AS (SELECT b.doc_id, b.n_tokens,
+  CAST(round(1000000.0 * (b.n_tokens - b.n_distinct)
+       / greatest(b.n_tokens, 1)) AS BIGINT) AS dup_token_ppm,
+  CAST(round(1000000.0 * coalesce(tp.top_bg_chars, 0)
+       / greatest(b.n_chars, 1)) AS BIGINT) AS top_bigram_ppm
+  FROM base b LEFT JOIN top tp USING (doc_id))
+SELECT doc_id, n_tokens, dup_token_ppm, top_bigram_ppm,
+       CAST(dup_token_ppm > 300000 OR top_bigram_ppm > 180000 AS INTEGER)
+         AS repetitive
+FROM ppm
+"""
+
+
+def q_segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-segment accounting (CCNet's paragraph-hash
+    dedup over fixed 8-word windows; keep-first by (doc_id, pos)).
+    Plan: explode md5 segment hashes, ONE window shuffle on the uniform
+    seg_hash key for keep-first, one doc_id rollup + left join so
+    segment-less docs report zeros.  destor analogue: the
+    first-occurrence write decision (filter_phase.c) per segment."""
+    from destor_spark.operators.curation import segment_dedup_stats
+
+    return segment_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_SEGMENT_DEDUP_STATS = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
+           FROM documents),
+sized AS (SELECT doc_id, w, len(w) // 8 AS nseg FROM t),
+segs AS (SELECT doc_id,
+                unnest(range(1, nseg + 1)) AS pos,
+                unnest(list_transform(range(1, nseg + 1),
+                  i -> md5(array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' '))))
+                  AS seg_hash
+         FROM sized WHERE nseg >= 1),
+rn AS (SELECT doc_id, seg_hash,
+              row_number() OVER (PARTITION BY seg_hash
+                                 ORDER BY doc_id, pos) AS r
+       FROM segs),
+per AS (SELECT doc_id, count(*) AS n_segments,
+               CAST(sum(CASE WHEN r > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_segments
+        FROM rn GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(p.n_segments, 0) AS n_segments,
+  coalesce(p.n_dup_segments, 0) AS n_dup_segments,
+  CAST(round(1000000.0 * coalesce(p.n_dup_segments, 0)
+       / greatest(coalesce(p.n_segments, 0), 1)) AS BIGINT) AS dup_seg_ppm
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def _synth_url() -> "F.Column":
+    """Deterministic synthetic URL per document (the documents table has
+    no url column): four crawl-realistic variants keyed by doc_id % 4 —
+    tracking params, uppercase host + default port + trailing slash,
+    bare-host + fragment, http + :80 + unsorted params.  The oracle SQL
+    builds the IDENTICAL strings, so the gate checks canonicalization,
+    not the synthesis."""
+    k = (F.col("doc_id") % 10).cast("string")
+    s = F.col("source")
+    m = F.col("doc_id") % 4
+    return (
+        F.when(m == 0, F.concat(F.lit("https://www."), s,
+                                F.lit(".example.com/page/"), k,
+                                F.lit("?utm_source=feed&ref=rss")))
+        .when(m == 1, F.concat(F.lit("HTTPS://WWW."), F.upper(s),
+                               F.lit(".EXAMPLE.COM:443/page/"), k, F.lit("/")))
+        .when(m == 2, F.concat(F.lit("https://"), s,
+                               F.lit(".example.com/page/"), k, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("http://www."), s,
+                            F.lit(".example.com:80/page/"), k,
+                            F.lit("?b=2&a=1")))
+    )
+
+
+def q_url_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL dedup: canonicalize (fragment/scheme/case/port/
+    www/trailing-slash/tracking-param/param-order normalization,
+    operators/curation.canonical_url) and group; emits groups with >1
+    member.  One hash agg on the canonical string — uniform keys.
+    destor analogue: path normalization before fingerprinting in the
+    trace readers (src/fsl reader key handling)."""
+    from destor_spark.operators.curation import url_dup_groups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", _synth_url().alias("url"))
+    return url_dup_groups(d)
+
+
+SQL_URL_DUP_GROUPS = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN 'https://www.' || source || '.example.com/page/'
+              || CAST(doc_id % 10 AS VARCHAR) || '?utm_source=feed&ref=rss'
+         WHEN doc_id % 4 = 1 THEN 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/page/'
+              || CAST(doc_id % 10 AS VARCHAR) || '/'
+         WHEN doc_id % 4 = 2 THEN 'https://' || source || '.example.com/page/'
+              || CAST(doc_id % 10 AS VARCHAR) || '#frag'
+         ELSE 'http://www.' || source || '.example.com:80/page/'
+              || CAST(doc_id % 10 AS VARCHAR) || '?b=2&a=1' END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(url, '#.*', ''), '^[A-Za-z]+://', '') AS a
+  FROM raw),
+fields AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(
+        lower(regexp_extract(a, '^([^/?]+)', 1)), ':(80|443)$', ''),
+        '^www\.', '') AS host,
+    regexp_replace(regexp_extract(a, '^[^/?]+([^?]*)', 1), '/+$', '') AS path,
+    list_sort(list_filter(string_split(regexp_extract(a, '\?(.*)$', 1), '&'),
+        p -> p != '' AND NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)=')))
+      AS ps
+  FROM parts),
+canon AS (
+  SELECT doc_id,
+    'https://' || host || path ||
+    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END
+      AS url_canon
+  FROM fields)
+SELECT url_canon, count(*) AS n_docs, min(doc_id) AS rep_doc_id
+FROM canon GROUP BY url_canon HAVING count(*) > 1
+"""
+
+
+_SEMDEDUP_TAU = 850_000
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding column: vectors
+    assigned to their nearest md5-sampled IVF centroid (the ANN
+    quantizer, oracle-proven by ivf_ann_topk), then keep-first within
+    the cell — a vector is a duplicate iff an earlier cell-mate has
+    micro-cosine >= tau; dup_of is the smallest such id, -1 when kept.
+    The quadratic verify is cell-bounded exactly like an LSH bucket.
+    destor analogue: similarity-index lookup + first-occurrence write
+    decision, with a cosine predicate instead of feature equality."""
+    from destor_spark.operators.curation import semantic_dup_flags
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dup_flags(
+        emb, n_cells=_IVF_CELLS, tau_micro=_SEMDEDUP_TAU
+    ).withColumn("is_dup", F.col("is_dup").cast("int"))
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_CELLS}),
+cell_scores AS (
+  SELECT e.vec_id AS vid, c.centroid_id AS cell,
+         {_SQL_MICRO_COS.format(a='e.embedding', b='c.cvec')} AS am
+  FROM embeddings e, cents c),
+cells AS (
+  SELECT vid, cell FROM (
+    SELECT vid, cell, row_number() OVER (PARTITION BY vid
+                      ORDER BY am DESC, cell ASC) AS r
+    FROM cell_scores) WHERE r = 1),
+pairs AS (
+  SELECT a.vid AS a_id, b.vid AS b_id
+  FROM cells a JOIN cells b USING (cell)
+  JOIN embeddings ea ON ea.vec_id = a.vid
+  JOIN embeddings eb ON eb.vec_id = b.vid
+  WHERE a.vid < b.vid
+    AND {_SQL_MICRO_COS.format(a='ea.embedding', b='eb.embedding')}
+        >= {_SEMDEDUP_TAU}),
+dups AS (SELECT b_id AS vid, min(a_id) AS dup_of FROM pairs GROUP BY b_id)
+SELECT c.vid, c.cell,
+       coalesce(d.dup_of, -1) AS dup_of,
+       CAST(d.dup_of IS NOT NULL AS INTEGER) AS is_dup
+FROM cells c LEFT JOIN dups d USING (vid)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2307,6 +2515,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_fp_lookup": q_bloom_fp_lookup,
     "cdc_chunk_certificate": q_cdc_chunk_certificate,
     "optimized_min_features": q_optimized_min_features,
+    "gopher_repetition": q_gopher_repetition,
+    "segment_dedup_stats": q_segment_dedup_stats,
+    "url_dup_groups": q_url_dup_groups,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2354,4 +2566,8 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_fp_lookup": SQL_BLOOM_FP_LOOKUP,
     "cdc_chunk_certificate": SQL_CDC_CHUNK_CERTIFICATE,
     "optimized_min_features": SQL_OPTIMIZED_MIN_FEATURES,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
+    "segment_dedup_stats": SQL_SEGMENT_DEDUP_STATS,
+    "url_dup_groups": SQL_URL_DUP_GROUPS,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
 }

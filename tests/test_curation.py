@@ -1,0 +1,152 @@
+"""Operator-level gates for the corpus-curation family
+(destor_spark/operators/curation.py): hand-built frames with known
+answers, independent of the DuckDB parity harness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from destor_spark.operators.curation import (
+    SEGMENT_W,
+    canonical_url,
+    repetition_features,
+    segment_dedup_stats,
+    semantic_dup_flags,
+    url_dup_groups,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# repetition
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_scores(spark):
+    clean = " ".join(f"t{i}" for i in range(20))  # 20 distinct tokens
+    rows = [
+        (0, clean),                    # all distinct, every bigram unique
+        (1, "x y x y x y x y"),        # maximally repetitive
+        (2, "one"),                    # single token -> no bigrams
+        (3, ""),                       # empty doc survives with zeros
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_features(_docs(spark, rows)).collect()
+    }
+    assert out[0]["dup_token_ppm"] == 0
+    # every bigram occurs once; the longest ("t10 t11" etc.) is 7 chars
+    assert out[0]["top_bigram_ppm"] == round(1e6 * 7 / len(clean))
+    assert not out[0]["repetitive"]
+    # 8 tokens, 2 distinct -> 750000 ppm duplicates
+    assert out[1]["dup_token_ppm"] == 750_000
+    # "x y" occurs 4x (len 3) in 15 chars -> 800000 ppm
+    assert out[1]["top_bigram_ppm"] == 800_000
+    assert out[1]["repetitive"]
+    assert out[2]["dup_token_ppm"] == 0
+    assert out[2]["top_bigram_ppm"] == 0
+    assert out[3]["n_tokens"] == 0 and not out[3]["repetitive"]
+
+
+# ---------------------------------------------------------------------------
+# segment dedup
+# ---------------------------------------------------------------------------
+
+
+def test_segment_keep_first(spark):
+    w = " ".join(str(i) for i in range(SEGMENT_W))  # one full window
+    rows = [
+        (0, w),                      # first occurrence -> kept
+        (1, w),                      # exact segment dup of doc 0
+        (2, w + " tail"),            # same first window, partial tail ignored
+        (3, "short doc"),            # < W tokens -> zero segments
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup_stats(_docs(spark, rows)).collect()
+    }
+    assert out[0]["n_segments"] == 1 and out[0]["n_dup_segments"] == 0
+    assert out[1]["n_dup_segments"] == 1 and out[1]["dup_seg_ppm"] == 1_000_000
+    assert out[2]["n_segments"] == 1 and out[2]["n_dup_segments"] == 1
+    assert out[3]["n_segments"] == 0 and out[3]["dup_seg_ppm"] == 0
+
+
+def test_segment_position_order_within_doc(spark):
+    # duplicate window WITHIN one doc: second instance is the dup
+    w1 = " ".join(f"a{i}" for i in range(SEGMENT_W))
+    rows = [(0, w1 + " " + w1)]
+    out = segment_dedup_stats(_docs(spark, rows)).collect()[0]
+    assert out["n_segments"] == 2 and out["n_dup_segments"] == 1
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,canon",
+    [
+        ("https://www.Ex.COM:443/a/b/?utm_source=x&q=1#frag",
+         "https://ex.com/a/b?q=1"),
+        ("HTTP://EX.com:80/a/b", "https://ex.com/a/b"),
+        ("https://ex.com/a/b?b=2&a=1", "https://ex.com/a/b?a=1&b=2"),
+        ("https://ex.com/?ref=rss&fbclid=z&gclid=y", "https://ex.com"),
+        ("https://ex.com:8080/x", "https://ex.com:8080/x"),  # non-default port kept
+        ("https://wwwx.com/p", "https://wwwx.com/p"),  # only 'www.' stripped
+    ],
+)
+def test_canonical_url_cases(spark, raw, canon):
+    got = (
+        spark.range(1)
+        .select(canonical_url(F.lit(raw)).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == canon, raw
+
+
+def test_url_dup_groups(spark):
+    rows = [
+        (1, "https://www.ex.com/p?utm_source=a"),
+        (2, "HTTPS://EX.COM:443/p/"),
+        (3, "https://ex.com/p#s"),
+        (4, "https://ex.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = url_dup_groups(df).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g["url_canon"] == "https://ex.com/p"
+    assert g["n_docs"] == 3 and g["rep_doc_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dup_keep_first(spark):
+    # two tight planted directions + one orthogonal singleton; any cell
+    # assignment groups identical directions together, so keep-first
+    # must flag exactly the later ids of each direction.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),   # ~ duplicate of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.001, 0.0]),   # ~ duplicate of 2
+        (4, [0.0, 0.0, 0.0, 1.0]),     # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r["vid"]: r
+        for r in semantic_dup_flags(df, n_cells=5, tau_micro=990_000).collect()
+    }
+    assert not out[0]["is_dup"] and out[0]["dup_of"] == -1
+    assert out[1]["is_dup"] and out[1]["dup_of"] == 0
+    assert not out[2]["is_dup"]
+    assert out[3]["is_dup"] and out[3]["dup_of"] == 2
+    assert not out[4]["is_dup"] and out[4]["dup_of"] == -1
