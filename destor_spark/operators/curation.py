@@ -33,10 +33,12 @@ from destor_spark.operators.textstats import tokens
 
 # Gopher-style repetition thresholds (Rae et al. 2021, table A1 uses
 # 0.18 for the top-2-gram character fraction; the duplicate-token cap
-# is our whitespace-token restatement of the duplicate-line rule).
+# is our whitespace-token restatement of the duplicate-line rule —
+# calibrated to the synthetic corpus's small vocabulary, where the
+# natural-text 0.30 would flag 85% of documents; 0.70 sits at its p99).
 # Embedded verbatim in the oracle SQL — do not edit one side only.
 TOP_BIGRAM_PPM_MAX = 180_000
-DUP_TOKEN_PPM_MAX = 300_000
+DUP_TOKEN_PPM_MAX = 700_000
 
 # Non-overlapping word-window width for the segment-dedup pass (the
 # "paragraph" unit: the synthetic corpus has no newlines, so the
@@ -226,6 +228,71 @@ def url_dup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("doc_id").alias("rep_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def curation_decisions(
+    docs: DataFrame, url: Column, near_pairs: DataFrame
+) -> DataFrame:
+    """Single-pass curation verdict per document with fixed precedence:
+
+        removed_exact      md5(text) seen at a smaller doc_id
+        removed_url_dup    canonical URL seen at a smaller doc_id
+        removed_near_dup   appears as doc_b in near_pairs (doc_a < doc_b
+                           by the pair generator's convention)
+        removed_repetitive Gopher repetition flag
+        kept               none of the above
+
+    Cascades are deliberately not re-resolved (a URL-dup's keeper may
+    itself be an exact dup): production curation stages run
+    independently and union their removal sets.  Plan: two keep-first
+    windows on uniform keys (md5, canonical url), the pair relation's
+    own shuffle, then broadcast-sized left joins onto the doc spine.
+    destor analogue: the filter-phase decision enum
+    (/root/reference/src/backup/filter_phase.c) — one labeled verdict
+    per chunk, here per document.
+    """
+
+    def _keep_first_removals(keyed: DataFrame, flag: str) -> DataFrame:
+        rn = F.row_number().over(Window.partitionBy("k").orderBy("doc_id"))
+        return (
+            keyed.withColumn("_r", rn)
+            .filter(F.col("_r") > 1)
+            .select("doc_id", F.lit(1).alias(flag))
+        )
+
+    exact_rm = _keep_first_removals(
+        docs.select("doc_id", F.md5("text").alias("k")), "f_exact"
+    )
+    url_rm = _keep_first_removals(
+        docs.select("doc_id", canonical_url(url).alias("k")), "f_url"
+    )
+    near_rm = (
+        near_pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("f_near", F.lit(1))
+    )
+    rep = repetition_features(docs).select(
+        "doc_id", F.col("repetitive").cast("int").alias("f_rep")
+    )
+    decision = (
+        F.when(F.col("f_exact") == 1, F.lit("removed_exact"))
+        .when(F.col("f_url") == 1, F.lit("removed_url_dup"))
+        .when(F.col("f_near") == 1, F.lit("removed_near_dup"))
+        .when(F.col("f_rep") == 1, F.lit("removed_repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_rm, "doc_id", "left")
+        .join(url_rm, "doc_id", "left")
+        .join(near_rm, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            decision.alias("decision"),
+            (decision == "kept").cast("int").alias("kept"),
+        )
     )
 
 

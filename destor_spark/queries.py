@@ -2302,7 +2302,7 @@ ppm AS (SELECT b.doc_id, b.n_tokens,
        / greatest(b.n_chars, 1)) AS BIGINT) AS top_bigram_ppm
   FROM base b LEFT JOIN top tp USING (doc_id))
 SELECT doc_id, n_tokens, dup_token_ppm, top_bigram_ppm,
-       CAST(dup_token_ppm > 300000 OR top_bigram_ppm > 180000 AS INTEGER)
+       CAST(dup_token_ppm > 700000 OR top_bigram_ppm > 180000 AS INTEGER)
          AS repetitive
 FROM ppm
 """
@@ -2354,8 +2354,17 @@ def _synth_url() -> "F.Column":
     bare-host + fragment, http + :80 + unsorted params.  The oracle SQL
     builds the IDENTICAL strings, so the gate checks canonicalization,
     not the synthesis."""
-    k = (F.col("doc_id") % 10).cast("string")
-    s = F.col("source")
+    # page id: unique per doc except a planted alias — docs with
+    # doc_id % 10 == 7 point at their predecessor's page, so canonical
+    # collisions are a sparse minority (the realistic crawl shape),
+    # not a wholesale collapse of the corpus.  Host derives from the
+    # SAME aliased id (not the source column) so an aliased pair really
+    # shares a host.
+    kk = F.col("doc_id") - F.when(
+        F.col("doc_id") % 10 == 7, F.lit(1)
+    ).otherwise(F.lit(0))
+    k = kk.cast("string")
+    s = F.concat(F.lit("site"), (kk % 20).cast("string"))
     m = F.col("doc_id") % 4
     return (
         F.when(m == 0, F.concat(F.lit("https://www."), s,
@@ -2384,18 +2393,28 @@ def q_url_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dup_groups(d)
 
 
-SQL_URL_DUP_GROUPS = r"""
-WITH raw AS (
+# (doc_id, url_canon) relation shared by SQL_URL_DUP_GROUPS and the
+# curation-decision composition below.
+_SQL_URL_CANON = r"""
+WITH pg0 AS (
+  SELECT doc_id,
+         doc_id - CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS kk
+  FROM documents),
+pg AS (
+  SELECT doc_id, CAST(kk AS VARCHAR) AS k,
+         'site' || CAST(kk % 20 AS VARCHAR) AS source
+  FROM pg0),
+raw AS (
   SELECT doc_id,
     CASE WHEN doc_id % 4 = 0 THEN 'https://www.' || source || '.example.com/page/'
-              || CAST(doc_id % 10 AS VARCHAR) || '?utm_source=feed&ref=rss'
+              || k || '?utm_source=feed&ref=rss'
          WHEN doc_id % 4 = 1 THEN 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/page/'
-              || CAST(doc_id % 10 AS VARCHAR) || '/'
+              || k || '/'
          WHEN doc_id % 4 = 2 THEN 'https://' || source || '.example.com/page/'
-              || CAST(doc_id % 10 AS VARCHAR) || '#frag'
+              || k || '#frag'
          ELSE 'http://www.' || source || '.example.com:80/page/'
-              || CAST(doc_id % 10 AS VARCHAR) || '?b=2&a=1' END AS url
-  FROM documents),
+              || k || '?b=2&a=1' END AS url
+  FROM pg),
 parts AS (
   SELECT doc_id,
          regexp_replace(regexp_replace(url, '#.*', ''), '^[A-Za-z]+://', '') AS a
@@ -2416,8 +2435,74 @@ canon AS (
     CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END
       AS url_canon
   FROM fields)
+SELECT doc_id, url_canon FROM canon
+"""
+
+SQL_URL_DUP_GROUPS = f"""
 SELECT url_canon, count(*) AS n_docs, min(doc_id) AS rep_doc_id
-FROM canon GROUP BY url_canon HAVING count(*) > 1
+FROM ({_SQL_URL_CANON}) GROUP BY url_canon HAVING count(*) > 1
+"""
+
+
+def q_corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation verdict per document — the composition a
+    training-data pipeline actually ships: one decision column with
+    fixed precedence
+
+        removed_exact      md5(text) seen at a smaller doc_id
+        removed_url_dup    canonical URL seen at a smaller doc_id
+        removed_near_dup   partnered with a smaller doc_id in the
+                           portable MinHash/LSH pair relation
+        removed_repetitive Gopher repetition flag
+        kept               none of the above
+
+    Decisions are single-pass (a URL-dup's keeper may itself be an
+    exact dup — cascades are deliberately not re-resolved, matching how
+    production curation stages run independently and union their
+    removal sets).  Every branch reuses an already-oracle-proven
+    relation (exact groups, canonical URLs, minhash_lsh_pairs,
+    gopher_repetition) so the SQL twin is a CTE composition of proven
+    parts.  Plan: three window/agg shuffles on uniform keys (md5, url,
+    band key) + broadcast-sized left joins back onto the doc spine.
+    destor analogue: the filter-phase decision enum
+    (/root/reference/src/backup/filter_phase.c) — one labeled verdict
+    per chunk, here per document."""
+    from destor_spark.operators.curation import curation_decisions
+
+    d = _t(spark, sf_dir, "documents")
+    return curation_decisions(
+        d, _synth_url(), q_minhash_lsh_pairs(spark, sf_dir)
+    )
+
+
+SQL_CORPUS_CURATION_DECISIONS = f"""
+WITH exact_rm AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS r
+    FROM documents) WHERE r > 1),
+url_rm AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY url_canon
+                                      ORDER BY doc_id) AS r
+    FROM ({_SQL_URL_CANON})) WHERE r > 1),
+near_rm AS (SELECT DISTINCT doc_b AS doc_id FROM ({SQL_MINHASH_LSH_PAIRS})),
+rep_rm AS (SELECT doc_id FROM ({SQL_GOPHER_REPETITION}) WHERE repetitive = 1),
+verdict AS (
+  SELECT d.doc_id,
+    CASE WHEN e.doc_id IS NOT NULL THEN 'removed_exact'
+         WHEN u.doc_id IS NOT NULL THEN 'removed_url_dup'
+         WHEN n.doc_id IS NOT NULL THEN 'removed_near_dup'
+         WHEN p.doc_id IS NOT NULL THEN 'removed_repetitive'
+         ELSE 'kept' END AS decision
+  FROM documents d
+  LEFT JOIN exact_rm e USING (doc_id)
+  LEFT JOIN url_rm u USING (doc_id)
+  LEFT JOIN near_rm n USING (doc_id)
+  LEFT JOIN rep_rm p USING (doc_id))
+SELECT doc_id, decision,
+       CAST(decision = 'kept' AS INTEGER) AS kept
+FROM verdict
 """
 
 
@@ -2519,6 +2604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_dedup_stats": q_segment_dedup_stats,
     "url_dup_groups": q_url_dup_groups,
     "semantic_dedup": q_semantic_dedup,
+    "corpus_curation_decisions": q_corpus_curation_decisions,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2570,4 +2656,5 @@ ORACLE_SQL: dict[str, str] = {
     "segment_dedup_stats": SQL_SEGMENT_DEDUP_STATS,
     "url_dup_groups": SQL_URL_DUP_GROUPS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "corpus_curation_decisions": SQL_CORPUS_CURATION_DECISIONS,
 }

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from destor_spark.operators.curation import (
     SEGMENT_W,
     canonical_url,
+    curation_decisions,
     repetition_features,
     segment_dedup_stats,
     semantic_dup_flags,
@@ -122,6 +123,43 @@ def test_url_dup_groups(spark):
     g = got[0]
     assert g["url_canon"] == "https://ex.com/p"
     assert g["n_docs"] == 3 and g["rep_doc_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# curation decision composition
+# ---------------------------------------------------------------------------
+
+
+def test_curation_decision_precedence(spark):
+    rep = "x y " * 40                                # trips the bigram rule
+    clean_a = " ".join(f"t{i}" for i in range(20))   # below every threshold
+    clean_b = " ".join(f"s{i}" for i in range(20))
+    rows = [
+        (0, clean_a, "https://a.com/0"),
+        (1, clean_a, "https://a.com/1"),       # exact dup of 0
+        (2, rep, "https://a.com/0"),           # url dup of 0 (first of rep text)
+        (3, rep, "https://a.com/3"),           # exact dup of 2 AND repetitive
+        (5, rep + "z", "https://A.COM:443/5"), # repetitive, url canonical-first
+        (6, rep + "q", "https://a.com/5"),     # url dup + near dup + repetitive
+        (7, rep + "w", "https://a.com/7"),     # near dup + repetitive
+        (8, clean_b, "https://a.com/8"),       # nothing -> kept
+        (9, rep + "v", "https://a.com/9"),     # repetitive only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, url string")
+    pairs = spark.createDataFrame([(5, 6), (5, 7)], "doc_a bigint, doc_b bigint")
+    got = curation_decisions(docs, F.col("url"), pairs).collect()
+    out = {r["doc_id"]: r["decision"] for r in got}
+    kept = {r["doc_id"]: r["kept"] for r in got}
+    assert out[0] == "kept"
+    assert out[1] == "removed_exact"           # exact keep-first
+    assert out[2] == "removed_url_dup"         # url beats repetitive
+    assert out[3] == "removed_exact"           # exact beats repetitive
+    assert out[5] == "removed_repetitive"      # url canonical-first, so rep fires
+    assert out[6] == "removed_url_dup"         # url beats near + repetitive
+    assert out[7] == "removed_near_dup"        # near beats repetitive
+    assert out[8] == "kept"
+    assert out[9] == "removed_repetitive"
+    assert kept[8] == 1 and kept[9] == 0 and sum(kept.values()) == 2
 
 
 # ---------------------------------------------------------------------------
