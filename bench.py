@@ -79,6 +79,14 @@ HEADLINE = [
     "incremental_near_dup",
     # r5: whitespace vs BPE-ish pre-tokenizer accounting
     "token_stats",
+    # r5: corpus-curation family — Gopher repetition, CCNet-style
+    # segment dedup, URL canonicalization, SemDeDup, and the composed
+    # per-document verdict
+    "gopher_repetition",
+    "segment_dedup_stats",
+    "url_dup_groups",
+    "semantic_dedup",
+    "corpus_curation_decisions",
 ]
 
 
