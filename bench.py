@@ -87,6 +87,7 @@ HEADLINE = [
     "url_dup_groups",
     "semantic_dedup",
     "corpus_curation_decisions",
+    "segment_clean_corpus",
 ]
 
 

@@ -174,6 +174,88 @@ def segment_dedup_stats(
     )
 
 
+def _doc_segments_with_text(
+    df: DataFrame, text_col: str, w: int
+) -> DataFrame:
+    """(doc_id, pos, seg, seg_hash) — like doc_segments but carrying the
+    segment's text so a cleaned corpus can be reconstructed."""
+    base = df.select("doc_id", tokens(F.col(text_col)).alias("_w")).filter(
+        F.size("_w") >= w
+    )
+    segs = F.transform(
+        F.sequence(F.lit(1), F.floor(F.size("_w") / w).cast("int")),
+        lambda i: F.array_join(F.slice(F.col("_w"), (i - 1) * w + 1, w), " "),
+    )
+    return base.select(
+        "doc_id", F.posexplode(segs).alias("pos", "seg")
+    ).select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), "seg",
+        F.md5("seg").alias("seg_hash"),
+    )
+
+
+def remove_duplicate_segments(
+    df: DataFrame, text_col: str = "text", w: int = SEGMENT_W
+) -> DataFrame:
+    """CCNet's actual dedup step: REBUILD each document with its
+    corpus-duplicated segments removed (keep-first by (doc_id, pos),
+    same rule as segment_dedup_stats), the trailing <w-word remainder
+    always kept.  Returns (doc_id, n_kept_segments, clean_text).
+
+    For a single-space-tokenized document with no duplicated segments
+    the reconstruction is byte-identical to the input (test-pinned) —
+    the destor restore-path guarantee (byte-equal reconstruction from
+    kept chunks) restated at segment granularity.
+
+    Plan: one keep-first window on the uniform seg_hash key, one
+    doc_id aggregation whose per-doc state is the kept-segment list
+    (bounded by the document's own length), one left join back onto
+    the token spine.  No corpus-wide sort, no Python.
+    """
+    base = df.select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        tokens(F.col(text_col)).alias("_w"),
+    ).withColumn("_nseg", F.floor(F.size("_w") / w).cast("int"))
+    segs = _doc_segments_with_text(df, text_col, w)
+    rn = F.row_number().over(
+        Window.partitionBy("seg_hash").orderBy("doc_id", "pos")
+    )
+    kept = (
+        segs.withColumn("_r", rn)
+        .filter(F.col("_r") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "seg"))).alias("_ks")
+        )
+    )
+    kept_str = F.when(
+        F.col("_ks").isNotNull(),
+        F.array_join(F.transform(F.col("_ks"), lambda x: x["seg"]), " "),
+    ).otherwise(F.lit(""))
+    tail_str = F.array_join(
+        F.slice(
+            F.col("_w"),
+            F.col("_nseg") * w + 1,
+            F.greatest(F.size("_w") - F.col("_nseg") * w, F.lit(0)),
+        ),
+        " ",
+    )
+    clean = F.array_join(
+        F.filter(F.array(kept_str, tail_str), lambda x: x != F.lit("")), " "
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_ks").isNotNull(), F.size("_ks"))
+            .otherwise(F.lit(0))
+            .alias("n_kept_segments"),
+            clean.alias("clean_text"),
+        )
+    )
+
+
 def canonical_url(url: Column) -> Column:
     """Canonicalize a URL for crawl-level dedup, as a pure Column
     expression (regexp/split/sort builtins shared verbatim with the

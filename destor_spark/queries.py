@@ -2347,6 +2347,62 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_segment_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's dedup step proper: rebuild every document with its
+    corpus-duplicated 8-word segments removed (keep-first), trailing
+    remainder kept; emits md5 + length of the cleaned text so the
+    whole reconstruction is value-hashed against the oracle without
+    shipping full texts through the compare.  destor analogue: restore
+    from recipe — byte-equal reconstruction from kept chunks
+    (/root/reference/src/restore.c write path), per segment."""
+    from destor_spark.operators.curation import remove_duplicate_segments
+
+    out = remove_duplicate_segments(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_kept_segments",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").alias("n_clean_chars"),
+    )
+
+
+SQL_SEGMENT_CLEAN_CORPUS = """
+WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
+           FROM documents),
+sized AS (SELECT doc_id, w, len(w) // 8 AS nseg FROM t),
+segs AS (SELECT doc_id,
+                unnest(range(1, nseg + 1)) AS pos,
+                unnest(list_transform(range(1, nseg + 1),
+                  i -> array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' '))) AS seg
+         FROM sized WHERE nseg >= 1),
+rn AS (SELECT doc_id, pos, seg,
+              row_number() OVER (PARTITION BY md5(seg)
+                                 ORDER BY doc_id, pos) AS r
+       FROM segs),
+kept AS (SELECT doc_id,
+                list_sort(list({'pos': pos, 'seg': seg})) AS ks
+         FROM rn WHERE r = 1 GROUP BY doc_id),
+joined AS (
+  SELECT s.doc_id,
+         CASE WHEN k.ks IS NOT NULL
+              THEN array_to_string(list_transform(k.ks, x -> x.seg), ' ')
+              ELSE '' END AS kept_str,
+         array_to_string(w[nseg*8+1:len(w)], ' ') AS tail_str,
+         CASE WHEN k.ks IS NOT NULL THEN len(k.ks) ELSE 0 END
+           AS n_kept_segments
+  FROM sized s LEFT JOIN kept k USING (doc_id)),
+clean AS (
+  SELECT doc_id, n_kept_segments,
+         array_to_string(list_filter([kept_str, tail_str], x -> x != ''), ' ')
+           AS clean_text
+  FROM joined)
+SELECT doc_id, n_kept_segments,
+       md5(clean_text) AS clean_md5,
+       length(clean_text) AS n_clean_chars
+FROM clean
+"""
+
+
 def _synth_url() -> "F.Column":
     """Deterministic synthetic URL per document (the documents table has
     no url column): four crawl-realistic variants keyed by doc_id % 4 —
@@ -2605,6 +2661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dup_groups": q_url_dup_groups,
     "semantic_dedup": q_semantic_dedup,
     "corpus_curation_decisions": q_corpus_curation_decisions,
+    "segment_clean_corpus": q_segment_clean_corpus,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2657,4 +2714,5 @@ ORACLE_SQL: dict[str, str] = {
     "url_dup_groups": SQL_URL_DUP_GROUPS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "corpus_curation_decisions": SQL_CORPUS_CURATION_DECISIONS,
+    "segment_clean_corpus": SQL_SEGMENT_CLEAN_CORPUS,
 }

@@ -11,6 +11,7 @@ from destor_spark.operators.curation import (
     SEGMENT_W,
     canonical_url,
     curation_decisions,
+    remove_duplicate_segments,
     repetition_features,
     segment_dedup_stats,
     semantic_dup_flags,
@@ -76,6 +77,46 @@ def test_segment_keep_first(spark):
     assert out[3]["n_segments"] == 0 and out[3]["dup_seg_ppm"] == 0
 
 
+def test_remove_duplicate_segments_reconstruction(spark):
+    w1 = " ".join(f"a{i}" for i in range(SEGMENT_W))
+    w2 = " ".join(f"b{i}" for i in range(SEGMENT_W))
+    rows = [
+        (0, w1 + " " + w2 + " tail words"),  # all first occurrences
+        (1, w2 + " " + w1),                  # both windows already seen
+        (2, w1 + " only tail"),              # window seen, tail survives
+        (3, "short doc"),                    # < W tokens: unchanged
+        (4, w1 + " " + w1),                  # within-doc dup
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_segments(_docs(spark, rows)).collect()
+    }
+    # doc 0 keeps everything: byte-identical reconstruction
+    assert out[0]["clean_text"] == rows[0][1]
+    assert out[0]["n_kept_segments"] == 2
+    # doc 1: both windows duplicated -> empty text
+    assert out[1]["clean_text"] == "" and out[1]["n_kept_segments"] == 0
+    # doc 2: window removed, tail kept
+    assert out[2]["clean_text"] == "only tail"
+    # doc 3: too short to segment, unchanged
+    assert out[3]["clean_text"] == "short doc"
+    # doc 4: second within-doc instance removed... but w1 was already
+    # claimed by doc 0 (keep-first is corpus-wide), so both go
+    assert out[4]["clean_text"] == "" and out[4]["n_kept_segments"] == 0
+
+
+def test_remove_duplicate_segments_idempotent_on_unique_corpus(spark):
+    rows = [
+        (0, " ".join(f"u{i}" for i in range(3 * SEGMENT_W + 3))),
+        (1, " ".join(f"v{i}" for i in range(SEGMENT_W))),
+    ]
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_segments(_docs(spark, rows)).collect()
+    }
+    assert out[0] == rows[0][1] and out[1] == rows[1][1]
+
+
 def test_segment_position_order_within_doc(spark):
     # duplicate window WITHIN one doc: second instance is the dup
     w1 = " ".join(f"a{i}" for i in range(SEGMENT_W))
@@ -108,6 +149,34 @@ def test_canonical_url_cases(spark, raw, canon):
         .collect()[0]["c"]
     )
     assert got == canon, raw
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(x)) == canonical(x) over a generated grammar:
+    every combination of scheme/www/port/path-slash/params/fragment.
+    One Spark job applies the function once and twice in the same plan."""
+    urls = []
+    for scheme in ("http://", "https://", "HTTPS://"):
+        for www in ("", "www.", "WWW."):
+            for port in ("", ":80", ":443", ":8080"):
+                for path in ("", "/", "/a/b", "/a/b/"):
+                    for q in ("", "?utm_source=x", "?b=2&a=1&utm_b=z"):
+                        for frag in ("", "#sec"):
+                            urls.append(
+                                f"{scheme}{www}Ex.COM{port}{path}{q}{frag}"
+                            )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonical_url(F.col("url"))
+    bad = (
+        df.select(
+            "url",
+            once.alias("c1"),
+            canonical_url(once).alias("c2"),
+        )
+        .filter(F.col("c1") != F.col("c2"))
+        .collect()
+    )
+    assert bad == [], bad[:5]
 
 
 def test_url_dup_groups(spark):
