@@ -88,6 +88,7 @@ HEADLINE = [
     "semantic_dedup",
     "corpus_curation_decisions",
     "segment_clean_corpus",
+    "decontamination",
 ]
 
 

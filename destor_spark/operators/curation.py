@@ -313,6 +313,64 @@ def url_dup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+# Decontamination gram width: 13 tokens is the published convention
+# (GPT-3 appendix C / PaLM / Llama use 8-13-token collision windows).
+DECON_N = 13
+
+
+def decontamination_flags(
+    docs: DataFrame, benchmark: DataFrame, n: int = DECON_N
+) -> DataFrame:
+    """Train/test decontamination: flag every training document that
+    shares ANY n-token gram with the benchmark relation.
+
+    benchmark: DataFrame with a `text` column (the held-out eval set).
+    Returns (doc_id, n_hits, contaminated) where n_hits counts the
+    DISTINCT benchmark grams the doc collides with.
+
+    Scale shape: the benchmark side is small by construction (eval sets
+    are millions of grams, not trillions), so its distinct gram-hash
+    set BROADCASTS and the probe is a map-side hash join on the
+    exploded corpus grams — one corpus scan, no corpus shuffle except
+    the per-doc count agg.  destor analogue: the in-memory fingerprint
+    index probed per chunk (/root/reference/src/index/index.c lookup
+    path) with the index roles reversed (small reference set, huge
+    probe stream).
+    """
+
+    def _grams(df: DataFrame, id_cols: list[str]) -> DataFrame:
+        toks = tokens(F.col("text"))
+        base = df.select(*id_cols, toks.alias("_w")).filter(
+            F.size("_w") >= n  # sequence(1, 0) descends in Spark
+        )
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("_w") - F.lit(n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, n), " ")),
+        )
+        return base.select(
+            *id_cols, F.explode(F.array_distinct(g)).alias("g")
+        )
+
+    bench_grams = _grams(benchmark, []).distinct()
+    hits = (
+        _grams(docs, ["doc_id"])
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 def curation_decisions(
     docs: DataFrame, url: Column, near_pairs: DataFrame
 ) -> DataFrame:

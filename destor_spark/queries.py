@@ -2562,6 +2562,47 @@ FROM verdict
 """
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: documents with doc_id % 10 == 3 play
+    the benchmark (held-out eval set); every other document is flagged
+    if it shares ANY 13-token gram with a benchmark doc (the GPT-3/PaLM
+    collision convention).  The planted substring-span near-dups make
+    the gate non-vacuous — verbatim spans >= 13 tokens collide, random
+    vocab 13-grams never do.  Plan: the benchmark gram-hash set
+    broadcasts; the corpus probe is one map-side hash join on the
+    exploded grams + one per-doc count agg."""
+    from destor_spark.operators.curation import decontamination_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return decontamination_flags(
+        d.filter(F.col("doc_id") % 10 != 3),
+        d.filter(F.col("doc_id") % 10 == 3),
+    )
+
+
+SQL_DECONTAMINATION = """
+WITH bw AS (SELECT list_filter(string_split(text,' '), x -> x != '') AS w
+            FROM documents WHERE doc_id % 10 = 3),
+bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+           range(1, len(w) - 11),
+           i -> md5(array_to_string(w[i:i+12], ' '))))) AS g
+       FROM bw WHERE len(w) >= 13),
+cw AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
+       FROM documents WHERE doc_id % 10 != 3),
+cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(w) - 11),
+           i -> md5(array_to_string(w[i:i+12], ' '))))) AS g
+       FROM cw WHERE len(w) >= 13),
+hits AS (SELECT doc_id, count(*) AS n_hits
+         FROM cg JOIN bg USING (g) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INTEGER) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 3) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 _SEMDEDUP_TAU = 850_000
 
 
@@ -2662,6 +2703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "corpus_curation_decisions": q_corpus_curation_decisions,
     "segment_clean_corpus": q_segment_clean_corpus,
+    "decontamination": q_decontamination,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2715,4 +2757,5 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "corpus_curation_decisions": SQL_CORPUS_CURATION_DECISIONS,
     "segment_clean_corpus": SQL_SEGMENT_CLEAN_CORPUS,
+    "decontamination": SQL_DECONTAMINATION,
 }

@@ -195,6 +195,47 @@ def test_url_dup_groups(spark):
 
 
 # ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontamination_flags(spark):
+    from destor_spark.operators.curation import decontamination_flags
+
+    span = " ".join(f"b{i}" for i in range(13))       # the benchmark 13-gram
+    bench = spark.createDataFrame([(span,)], "text string")
+    rows = [
+        (0, "lead in " + span + " trailing stuff"),   # contains the span
+        (1, span.replace("b6", "X")),                 # 1 token differs -> clean
+        (2, " ".join(f"c{i}" for i in range(30))),    # unrelated -> clean
+        (3, "too short"),                             # < 13 tokens -> clean
+        (4, span),                                    # exact benchmark text
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in decontamination_flags(_docs(spark, rows), bench).collect()
+    }
+    assert out[0]["contaminated"] == 1 and out[0]["n_hits"] == 1
+    assert out[1]["contaminated"] == 0
+    assert out[2]["contaminated"] == 0
+    assert out[3]["contaminated"] == 0 and out[3]["n_hits"] == 0
+    assert out[4]["contaminated"] == 1
+
+
+def test_decontamination_counts_distinct_grams(spark):
+    from destor_spark.operators.curation import decontamination_flags
+
+    toks = [f"b{i}" for i in range(14)]               # two distinct 13-grams
+    bench = spark.createDataFrame([(" ".join(toks),)], "text string")
+    # doc contains both grams, one of them twice
+    text = " ".join(toks + ["sep"] + toks[:13])
+    out = decontamination_flags(
+        _docs(spark, [(0, text)]), bench
+    ).collect()[0]
+    assert out["contaminated"] == 1 and out["n_hits"] == 2
+
+
+# ---------------------------------------------------------------------------
 # curation decision composition
 # ---------------------------------------------------------------------------
 
