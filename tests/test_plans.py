@@ -161,3 +161,31 @@ def test_ivf_assign_is_map_side(spark):
     corpus_side = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in corpus_side, plan[:1500]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_curation_plans_prune_and_broadcast(spark):
+    """The curation family must read only (doc_id, text), choose
+    broadcast joins over sort-merge, and never read the unused corpus
+    columns (lang/source/n_chars are not needed by any of them)."""
+    import destor_spark.queries as Q
+
+    for name in (
+        "gopher_repetition",
+        "segment_dedup_stats",
+        "decontamination",
+        "url_dup_groups",
+        "segment_clean_corpus",
+    ):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        assert "SortMergeJoin" not in plan, (name, plan[:800])
+        for col in ("lang", "n_chars2", "source"):
+            assert f"{col}:" not in plan, (name, col)
+
+
+def test_decontamination_benchmark_side_broadcasts(spark):
+    """The benchmark gram set must be the broadcast side — the corpus
+    probe stays map-side (no corpus-wide shuffle before the join)."""
+    import destor_spark.queries as Q
+
+    plan = _plan(Q.QUERIES["decontamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
