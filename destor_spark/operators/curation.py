@@ -26,7 +26,7 @@ equality (/root/reference/src/index/similarity index lookups).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from destor_spark.operators.textstats import tokens
@@ -53,9 +53,10 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document repetition scores + keep/flag decision (Gopher).
 
     dup_token_ppm   = 1e6 * (n_tokens - n_distinct_tokens) / n_tokens
-    top_bigram_ppm  = 1e6 * max_bg(count(bg) * length(bg)) / n_chars
-                      (characters covered by all occurrences of the
-                      most character-heavy repeated word 2-gram)
+    top_bigram_ppm  = 1e6 * max over bigrams with count >= 2 of
+                      (count(bg) * length(bg)) / n_chars — characters
+                      covered by the most character-heavy REPEATED
+                      word 2-gram; 0 when no bigram repeats
     repetitive      = either score above its threshold
 
     Plan shape: one scan; bigrams explode into (doc_id, bg) and combine
@@ -86,9 +87,14 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("bg"),
         )
     )
+    # only REPEATED bigrams count (cnt >= 2): the Gopher rule scores the
+    # characters covered by the most character-heavy repeated 2-gram; a
+    # document whose every bigram is unique must score 0, not the
+    # length of its longest bigram.
     top_bg = (
         bigrams.groupBy("doc_id", "bg")
         .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
         .groupBy("doc_id")
         .agg(F.max(F.col("cnt") * F.length("bg")).alias("top_bg_chars"))
     )
@@ -121,20 +127,46 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _segments_from_tokens(base: DataFrame, w: int) -> DataFrame:
+    """(doc_id, pos, seg, seg_hash) from a pre-tokenized frame holding
+    (doc_id, _w): each non-overlapping w-word window.  Docs shorter
+    than w words are dropped here (sequence(1, 0) DESCENDS in Spark, so
+    the size guard must come first); callers left-join them back."""
+    g = base.filter(F.size("_w") >= w)
+    segs = F.transform(
+        F.sequence(F.lit(1), F.floor(F.size("_w") / w).cast("int")),
+        lambda i: F.array_join(F.slice(F.col("_w"), (i - 1) * w + 1, w), " "),
+    )
+    return g.select("doc_id", F.posexplode(segs).alias("pos", "seg")).select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), "seg",
+        F.md5("seg").alias("seg_hash"),
+    )
+
+
 def doc_segments(df: DataFrame, text_col: str = "text", w: int = SEGMENT_W) -> DataFrame:
     """Explode each document into (doc_id, pos, seg_hash): md5 of each
     non-overlapping w-word window.  Docs shorter than w words yield no
     segments (the caller's left join restores them)."""
-    base = df.select("doc_id", tokens(F.col(text_col)).alias("_w")).filter(
-        F.size("_w") >= w  # sequence(1, 0) descends in Spark — guard first
+    return _segments_from_tokens(
+        df.select("doc_id", tokens(F.col(text_col)).alias("_w")), w
+    ).select("doc_id", "pos", "seg_hash")
+
+
+def _first_instances(segs: DataFrame, carry_seg: bool = False) -> DataFrame:
+    """The corpus-first instance of every segment hash, keep-first by
+    (doc_id, pos) — via ONE map-side-combinable min aggregation, never
+    a window or self-join on seg_hash.  This is the load-bearing scale
+    decision: duplicated boilerplate segments are by definition the
+    HOT keys, so a row_number window (all instances co-located on one
+    reducer) melts exactly where the operator matters; min(struct)
+    partial-aggregates each task's instances down to one row first."""
+    cols = ("doc_id", "pos", "seg") if carry_seg else ("doc_id", "pos")
+    out = segs.groupBy("seg_hash").agg(
+        F.min(F.struct(*cols)).alias("_f")
     )
-    segs = F.transform(
-        F.sequence(F.lit(1), F.floor(F.size("_w") / w).cast("int")),
-        lambda i: F.md5(F.array_join(F.slice(F.col("_w"), (i - 1) * w + 1, w), " ")),
+    return out.select(
+        "seg_hash", *[F.col(f"_f.{c}").alias(c) for c in cols]
     )
-    return base.select(
-        "doc_id", F.posexplode(segs).alias("pos", "seg_hash")
-    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "seg_hash")
 
 
 def segment_dedup_stats(
@@ -145,25 +177,26 @@ def segment_dedup_stats(
 
     A segment INSTANCE is a duplicate iff the same md5 occurs earlier
     in corpus order (doc_id, pos) — exactly destor's first-occurrence
-    write decision restated per segment.  One shuffle on seg_hash for
-    the keep-first window, one on doc_id for the rollup; the hash keys
-    are uniform so neither skews at scale.
+    write decision restated per segment.  Skew-proof counting: a doc's
+    duplicate count is n_segments minus the number of first instances
+    it OWNS, so the hot seg_hash side never joins back against the
+    instance relation — one combinable agg on seg_hash, two uniform
+    aggs on doc_id.
     """
     segs = doc_segments(df, text_col, w)
-    rn = F.row_number().over(
-        Window.partitionBy("seg_hash").orderBy("doc_id", "pos")
-    )
-    per_doc = (
-        segs.withColumn("_rn", rn)
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    owned = (
+        _first_instances(segs)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_segments"),
-            F.sum((F.col("_rn") > 1).cast("bigint")).alias("n_dup_segments"),
-        )
+        .agg(F.count("*").alias("_n_first"))
     )
-    out = df.select("doc_id").join(per_doc, "doc_id", "left")
+    out = (
+        df.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(owned, "doc_id", "left")
+    )
     n_seg = F.coalesce(F.col("n_segments"), F.lit(0))
-    n_dup = F.coalesce(F.col("n_dup_segments"), F.lit(0))
+    n_dup = n_seg - F.coalesce(F.col("_n_first"), F.lit(0))
     return out.select(
         "doc_id",
         n_seg.alias("n_segments"),
@@ -171,26 +204,6 @@ def segment_dedup_stats(
         F.round(F.lit(1_000_000) * n_dup / F.greatest(n_seg, F.lit(1)))
         .cast("bigint")
         .alias("dup_seg_ppm"),
-    )
-
-
-def _doc_segments_with_text(
-    df: DataFrame, text_col: str, w: int
-) -> DataFrame:
-    """(doc_id, pos, seg, seg_hash) — like doc_segments but carrying the
-    segment's text so a cleaned corpus can be reconstructed."""
-    base = df.select("doc_id", tokens(F.col(text_col)).alias("_w")).filter(
-        F.size("_w") >= w
-    )
-    segs = F.transform(
-        F.sequence(F.lit(1), F.floor(F.size("_w") / w).cast("int")),
-        lambda i: F.array_join(F.slice(F.col("_w"), (i - 1) * w + 1, w), " "),
-    )
-    return base.select(
-        "doc_id", F.posexplode(segs).alias("pos", "seg")
-    ).select(
-        "doc_id", (F.col("pos") + 1).alias("pos"), "seg",
-        F.md5("seg").alias("seg_hash"),
     )
 
 
@@ -207,23 +220,20 @@ def remove_duplicate_segments(
     the destor restore-path guarantee (byte-equal reconstruction from
     kept chunks) restated at segment granularity.
 
-    Plan: one keep-first window on the uniform seg_hash key, one
-    doc_id aggregation whose per-doc state is the kept-segment list
-    (bounded by the document's own length), one left join back onto
-    the token spine.  No corpus-wide sort, no Python.
+    Plan: one map-side-combinable min agg on seg_hash (_first_instances
+    — no window, no self-join, so boilerplate hot hashes cannot melt a
+    reducer), one doc_id aggregation whose per-doc state is the
+    kept-segment list (bounded by the document's own length), one left
+    join back onto the single-tokenize token spine.  No corpus-wide
+    sort, no Python.
     """
     base = df.select(
         "doc_id",
-        F.col(text_col).alias("_t"),
         tokens(F.col(text_col)).alias("_w"),
     ).withColumn("_nseg", F.floor(F.size("_w") / w).cast("int"))
-    segs = _doc_segments_with_text(df, text_col, w)
-    rn = F.row_number().over(
-        Window.partitionBy("seg_hash").orderBy("doc_id", "pos")
-    )
+    segs = _segments_from_tokens(base, w)
     kept = (
-        segs.withColumn("_r", rn)
-        .filter(F.col("_r") == 1)
+        _first_instances(segs, carry_seg=True)
         .groupBy("doc_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("pos", "seg"))).alias("_ks")
@@ -264,8 +274,9 @@ def canonical_url(url: Column) -> Column:
       1. drop the fragment
       2. scheme normalized to https (crawl dedup treats the schemes as
          one resource)
-      3. host lowercased, default :80/:443 ports and a leading www.
-         stripped
+      3. host lowercased, default :80/:443 ports and any run of
+         leading www. prefixes stripped (one pass must be a fixed
+         point — idempotence is property-gated)
       4. path: trailing slash stripped
       5. query: tracking params (utm_*, ref, fbclid, gclid) dropped,
          the rest sorted bytewise and re-joined
@@ -274,7 +285,7 @@ def canonical_url(url: Column) -> Column:
     after = F.regexp_replace(no_frag, "^[A-Za-z]+://", "")
     hostport = F.lower(F.regexp_extract(after, "^([^/?]+)", 1))
     host = F.regexp_replace(
-        F.regexp_replace(hostport, ":(80|443)$", ""), r"^www\.", ""
+        F.regexp_replace(hostport, ":(80|443)$", ""), r"^(www\.)+", ""
     )
     path = F.regexp_replace(
         F.regexp_extract(after, r"^[^/?]+([^?]*)", 1), "/+$", ""
@@ -394,10 +405,14 @@ def curation_decisions(
     """
 
     def _keep_first_removals(keyed: DataFrame, flag: str) -> DataFrame:
-        rn = F.row_number().over(Window.partitionBy("k").orderBy("doc_id"))
+        # skew-proof keep-first: every doc carries exactly one key, so
+        # the removal set is the doc spine minus the keeper set — one
+        # map-side-combinable min per key, one anti-join on the UNIFORM
+        # doc_id (never a window / join on the hot duplicate key).
+        keepers = keyed.groupBy("k").agg(F.min("doc_id").alias("doc_id"))
         return (
-            keyed.withColumn("_r", rn)
-            .filter(F.col("_r") > 1)
+            keyed.select("doc_id")
+            .join(keepers, "doc_id", "left_anti")
             .select("doc_id", F.lit(1).alias(flag))
         )
 

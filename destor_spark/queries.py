@@ -2294,7 +2294,8 @@ bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
              i -> w[i] || ' ' || w[i+1])) AS bg
        FROM base WHERE len(w) >= 2),
 cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
-top AS (SELECT doc_id, max(c * length(bg)) AS top_bg_chars FROM cnt GROUP BY doc_id),
+top AS (SELECT doc_id, max(c * length(bg)) AS top_bg_chars
+        FROM cnt WHERE c >= 2 GROUP BY doc_id),
 ppm AS (SELECT b.doc_id, b.n_tokens,
   CAST(round(1000000.0 * (b.n_tokens - b.n_distinct)
        / greatest(b.n_tokens, 1)) AS BIGINT) AS dup_token_ppm,
@@ -2411,13 +2412,16 @@ def _synth_url() -> "F.Column":
     builds the IDENTICAL strings, so the gate checks canonicalization,
     not the synthesis."""
     # page id: unique per doc except a planted alias — docs with
-    # doc_id % 10 == 7 point at their predecessor's page, so canonical
+    # doc_id % 10 == 7 point at the page FOUR back, so canonical
     # collisions are a sparse minority (the realistic crawl shape),
-    # not a wholesale collapse of the corpus.  Host derives from the
-    # SAME aliased id (not the source column) so an aliased pair really
-    # shares a host.
+    # not a wholesale collapse of the corpus.  The -4 offset keeps the
+    # variant class (doc_id % 4) equal across the pair, so EVERY
+    # planted alias collides after canonicalization — including the
+    # params variant, which exercises param-sort equality (a -1 offset
+    # left the m=3 params pairs forever uncollided).  Host derives from
+    # the SAME aliased id so the pair really shares a host.
     kk = F.col("doc_id") - F.when(
-        F.col("doc_id") % 10 == 7, F.lit(1)
+        F.col("doc_id") % 10 == 7, F.lit(4)
     ).otherwise(F.lit(0))
     k = kk.cast("string")
     s = F.concat(F.lit("site"), (kk % 20).cast("string"))
@@ -2454,7 +2458,7 @@ def q_url_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_URL_CANON = r"""
 WITH pg0 AS (
   SELECT doc_id,
-         doc_id - CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS kk
+         doc_id - CASE WHEN doc_id % 10 = 7 THEN 4 ELSE 0 END AS kk
   FROM documents),
 pg AS (
   SELECT doc_id, CAST(kk AS VARCHAR) AS k,
@@ -2479,7 +2483,7 @@ fields AS (
   SELECT doc_id,
     regexp_replace(regexp_replace(
         lower(regexp_extract(a, '^([^/?]+)', 1)), ':(80|443)$', ''),
-        '^www\.', '') AS host,
+        '^(www\.)+', '') AS host,
     regexp_replace(regexp_extract(a, '^[^/?]+([^?]*)', 1), '/+$', '') AS path,
     list_sort(list_filter(string_split(regexp_extract(a, '\?(.*)$', 1), '&'),
         p -> p != '' AND NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)=')))

@@ -41,8 +41,9 @@ def test_repetition_scores(spark):
         for r in repetition_features(_docs(spark, rows)).collect()
     }
     assert out[0]["dup_token_ppm"] == 0
-    # every bigram occurs once; the longest ("t10 t11" etc.) is 7 chars
-    assert out[0]["top_bigram_ppm"] == round(1e6 * 7 / len(clean))
+    # no bigram REPEATS, so the Gopher score must be exactly 0 — a
+    # unique-bigram doc scoring its longest bigram was a real bug
+    assert out[0]["top_bigram_ppm"] == 0
     assert not out[0]["repetitive"]
     # 8 tokens, 2 distinct -> 750000 ppm duplicates
     assert out[1]["dup_token_ppm"] == 750_000
@@ -140,6 +141,7 @@ def test_segment_position_order_within_doc(spark):
         ("https://ex.com/?ref=rss&fbclid=z&gclid=y", "https://ex.com"),
         ("https://ex.com:8080/x", "https://ex.com:8080/x"),  # non-default port kept
         ("https://wwwx.com/p", "https://wwwx.com/p"),  # only 'www.' stripped
+        ("https://www.WWW.ex.com/p", "https://ex.com/p"),  # www run stripped
     ],
 )
 def test_canonical_url_cases(spark, raw, canon):
@@ -157,7 +159,7 @@ def test_canonical_url_idempotent(spark):
     One Spark job applies the function once and twice in the same plan."""
     urls = []
     for scheme in ("http://", "https://", "HTTPS://"):
-        for www in ("", "www.", "WWW."):
+        for www in ("", "www.", "WWW.", "www.www."):
             for port in ("", ":80", ":443", ":8080"):
                 for path in ("", "/", "/a/b", "/a/b/"):
                     for q in ("", "?utm_source=x", "?b=2&a=1&utm_b=z"):

@@ -178,7 +178,10 @@ def test_curation_plans_prune_and_broadcast(spark):
     ):
         plan = _plan(Q.QUERIES[name](spark, SF))
         assert "SortMergeJoin" not in plan, (name, plan[:800])
-        for col in ("lang", "n_chars2", "source"):
+        # a parquet READ renders "n_chars:" in ReadSchema; a derived
+        # alias renders "n_chars#NN" — so this catches regressions
+        # without tripping on the queries' own output aliases
+        for col in ("lang", "n_chars", "source"):
             assert f"{col}:" not in plan, (name, col)
 
 
