@@ -89,6 +89,7 @@ HEADLINE = [
     "corpus_curation_decisions",
     "segment_clean_corpus",
     "decontamination",
+    "pii_scrub",
 ]
 
 

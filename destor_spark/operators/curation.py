@@ -324,6 +324,38 @@ def url_dup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+# PII patterns shared verbatim with the DuckDB oracle (no lookahead /
+# backreferences, so Java regex and RE2 agree).  Scrub order is fixed:
+# emails first (they contain dots and digits), then phones, then IPv4.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d{3}[- ]\d{3}[- ]\d{4}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """(n_emails, n_phones, n_ips) match counts for a text column."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), F.lit(0))).alias("n_ips"),
+    ]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails -> <EMAIL>, phones -> <PHONE>, IPv4 -> <IP>, in
+    that fixed order (a phone/IP inside an already-redacted email can
+    never double-fire).  Pure regexp_replace — JVM codegen, and the
+    DuckDB twin applies the identical three passes with the 'g' flag.
+
+    destor analogue: none — destor treats payloads as opaque bytes;
+    this is the redaction stage a training-data pipeline inserts
+    between extraction and tokenization.
+    """
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
 # Decontamination gram width: 13 tokens is the published convention
 # (GPT-3 appendix C / PaLM / Llama use 8-13-token collision windows).
 DECON_N = 13

@@ -2607,6 +2607,67 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction certificate: the corpus has no PII, so each doc is
+    deterministically augmented with a synthetic email / phone / IPv4
+    (keyed by doc_id % 4, built identically in the oracle SQL) and then
+    scrubbed (operators/curation.scrub_pii).  Emits match counts + md5
+    of the scrubbed text, so the gate checks detection AND redaction
+    byte-exactly.  One scan, pure regexp codegen, no shuffle."""
+    from destor_spark.operators.curation import pii_counts, scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 100).cast("string")
+    m = F.col("doc_id") % 4
+    aug = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" contact user"), k,
+                                F.lit("@mail-host.com now")))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" call +001 555-01"),
+                               F.lpad(k, 2, "0"), F.lit(" today")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" server 10.0."), k,
+                               F.lit(".25 responded")))
+        .otherwise(F.col("text"))
+    )
+    t = d.select("doc_id", aug.alias("_t"))
+    return t.select(
+        "doc_id",
+        *pii_counts(F.col("_t")),
+        F.md5(scrub_pii(F.col("_t"))).alias("scrub_md5"),
+        F.length(scrub_pii(F.col("_t"))).alias("n_scrub_chars"),
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN text || ' contact user'
+              || CAST(doc_id % 100 AS VARCHAR) || '@mail-host.com now'
+         WHEN doc_id % 4 = 1 THEN text || ' call +001 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today'
+         WHEN doc_id % 4 = 2 THEN text || ' server 10.0.'
+              || CAST(doc_id % 100 AS VARCHAR) || '.25 responded'
+         ELSE text END AS t
+  FROM documents),
+scrub AS (
+  SELECT doc_id, t,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s
+  FROM aug)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+    AS n_emails,
+  len(regexp_extract_all(t, '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phones,
+  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+  md5(s) AS scrub_md5,
+  length(s) AS n_scrub_chars
+FROM scrub
+"""
+
+
 _SEMDEDUP_TAU = 850_000
 
 
@@ -2708,6 +2769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation_decisions": q_corpus_curation_decisions,
     "segment_clean_corpus": q_segment_clean_corpus,
     "decontamination": q_decontamination,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2762,4 +2824,5 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_curation_decisions": SQL_CORPUS_CURATION_DECISIONS,
     "segment_clean_corpus": SQL_SEGMENT_CLEAN_CORPUS,
     "decontamination": SQL_DECONTAMINATION,
+    "pii_scrub": SQL_PII_SCRUB,
 }

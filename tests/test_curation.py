@@ -197,6 +197,41 @@ def test_url_dup_groups(spark):
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii_cases(spark):
+    from destor_spark.operators.curation import pii_counts, scrub_pii
+
+    rows = [
+        (0, "mail a.b+c@ex-ample.co.uk and x@y.io here"),
+        (1, "call +555 123-4567 or 555 123 4567 now"),
+        (2, "hosts 192.168.0.1 and 10.0.0.255 up"),
+        (3, "no pii at all in this document"),
+        (4, "mixed bob@ex.com then 1.2.3.4 then 123-456-7890"),
+    ]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *pii_counts(F.col("text")),
+            scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert out[0]["n_emails"] == 2
+    assert out[0]["s"] == "mail <EMAIL> and <EMAIL> here"
+    assert out[1]["n_phones"] == 2
+    assert out[1]["s"] == "call <PHONE> or <PHONE> now"
+    assert out[2]["n_ips"] == 2
+    assert out[2]["s"] == "hosts <IP> and <IP> up"
+    assert out[3]["s"] == rows[3][1]
+    assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ips"]) == (1, 1, 1)
+    assert out[4]["s"] == "mixed <EMAIL> then <IP> then <PHONE>"
+
+
+# ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
 
