@@ -90,6 +90,7 @@ HEADLINE = [
     "segment_clean_corpus",
     "decontamination",
     "pii_scrub",
+    "source_mixture",
 ]
 
 

@@ -2607,6 +2607,64 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing resample: each source gets a deterministic mixture
+    weight (rate_ppm = 200000 + 70000 * (source_ordinal % 10), the
+    DoReMi/Pile-style per-domain weighting restated as a reproducible
+    rule) and a document survives iff its portable 64-bit md5 hash
+    lands under the rate — exact, seedless, partition-independent
+    sampling (the same coin destor's hash%stride hook sampling flips,
+    /root/reference/src/index/sampling_method.c:112-140).  Emits the
+    per-source audit: quota vs realized ppm.  One scan + one uniform
+    hash agg on source; the sample decision is map-side."""
+    d = _t(spark, sf_dir, "documents")
+    src_ord = F.regexp_replace("source", "[^0-9]", "").cast("bigint")
+    rate = (F.lit(200_000) + F.lit(70_000) * (src_ord % 10)).alias("rate_ppm")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    flagged = d.select(
+        "source",
+        rate,
+        ((hv % 1_000_000) < rate).cast("bigint").alias("_keep"),
+    )
+    return (
+        flagged.groupBy("source", "rate_ppm")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_keep").alias("n_sampled"),
+        )
+        .select(
+            "source",
+            "rate_ppm",
+            "n_docs",
+            "n_sampled",
+            F.round(F.lit(1_000_000) * F.col("n_sampled") / F.col("n_docs"))
+            .cast("bigint")
+            .alias("realized_ppm"),
+        )
+    )
+
+
+SQL_SOURCE_MIXTURE = """
+WITH f AS (
+  SELECT source,
+         200000 + 70000 * (CAST(regexp_replace(source, '[^0-9]', '', 'g')
+                                AS BIGINT) % 10) AS rate_ppm,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000
+              < 200000 + 70000 * (CAST(regexp_replace(source, '[^0-9]', '', 'g')
+                                       AS BIGINT) % 10)
+              THEN 1 ELSE 0 END AS keep
+  FROM documents)
+SELECT source, rate_ppm, count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_sampled,
+       CAST(round(1000000.0 * sum(keep) / count(*)) AS BIGINT)
+         AS realized_ppm
+FROM f GROUP BY source, rate_ppm
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction certificate: the corpus has no PII, so each doc is
     deterministically augmented with a synthetic email / phone / IPv4
@@ -2770,6 +2828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_clean_corpus": q_segment_clean_corpus,
     "decontamination": q_decontamination,
     "pii_scrub": q_pii_scrub,
+    "source_mixture": q_source_mixture,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2825,4 +2884,5 @@ ORACLE_SQL: dict[str, str] = {
     "segment_clean_corpus": SQL_SEGMENT_CLEAN_CORPUS,
     "decontamination": SQL_DECONTAMINATION,
     "pii_scrub": SQL_PII_SCRUB,
+    "source_mixture": SQL_SOURCE_MIXTURE,
 }
