@@ -2393,8 +2393,13 @@ joined AS (
            AS n_kept_segments
   FROM sized s LEFT JOIN kept k USING (doc_id)),
 clean AS (
+  -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+  -- array_join([]) is '' — a fully-deduplicated doc whose word count
+  -- is a multiple of 8 (no tail) must hash as the EMPTY STRING on
+  -- both sides (first observed at sf0.01: doc 420)
   SELECT doc_id, n_kept_segments,
-         array_to_string(list_filter([kept_str, tail_str], x -> x != ''), ' ')
+         COALESCE(array_to_string(
+           list_filter([kept_str, tail_str], x -> x != ''), ' '), '')
            AS clean_text
   FROM joined)
 SELECT doc_id, n_kept_segments,

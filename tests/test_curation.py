@@ -106,6 +106,47 @@ def test_remove_duplicate_segments_reconstruction(spark):
     assert out[4]["clean_text"] == "" and out[4]["n_kept_segments"] == 0
 
 
+def test_clean_corpus_oracle_empty_doc_edge(spark):
+    """DuckDB-oracle parity on the edge the sf0.001 sweep can't reach:
+    a fully-deduplicated doc with NO tail (word count a multiple of
+    SEGMENT_W) must hash as the EMPTY STRING on both engines.  DuckDB's
+    array_to_string([]) is NULL where Spark's array_join([]) is '' —
+    the oracle COALESCEs, and this gate keeps it that way (first seen
+    as a driver-scale mismatch at sf0.01, doc 420)."""
+    import duckdb
+    import pandas as pd
+
+    import destor_spark.queries as Q
+
+    w1 = " ".join(f"e{i}" for i in range(SEGMENT_W))
+    rows = [
+        (0, w1),                    # first occurrence, no tail
+        (1, w1),                    # fully duplicated, no tail -> ''
+        (2, w1 + " tail bit"),      # duplicated window, tail kept
+    ]
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    du = {
+        int(r[0]): (r[2], int(r[3]))
+        for r in con.sql(Q.SQL_SEGMENT_CLEAN_CORPUS).fetchall()
+    }
+    sp = {
+        r["doc_id"]: (r["clean_md5"], r["n_clean_chars"])
+        for r in remove_duplicate_segments(_docs(spark, rows))
+        .select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            F.length("clean_text").alias("n_clean_chars"),
+        )
+        .collect()
+    }
+    assert sp == du
+    # the empty reconstruction is md5(''), not NULL, on BOTH engines
+    assert du[1] == ("d41d8cd98f00b204e9800998ecf8427e", 0)
+
+
 def test_remove_duplicate_segments_idempotent_on_unique_corpus(spark):
     rows = [
         (0, " ".join(f"u{i}" for i in range(3 * SEGMENT_W + 3))),
