@@ -91,6 +91,9 @@ HEADLINE = [
     "decontamination",
     "pii_scrub",
     "source_mixture",
+    # r5: suffix-array exact-substring measurement pass (third
+    # north-star modality; SA kernel vs diagonal-islands oracle)
+    "sa_longest_span",
 ]
 
 

@@ -28,6 +28,13 @@ All JVM built-ins (transform/sequence/substring/xxhash64) — the gram
 relation never leaves the executor JVM.  The pandas oracle mirrors the
 same anchor rule, so parity is exact.
 
+Two verify forms share the candidate join:
+  * substring_pairs — DECISION: boolean "shares a span >= L"
+    (rolling-hash probe + slice confirm, memoized per unique text);
+  * longest_span_pairs — MEASUREMENT: the exact LONGEST shared span
+    with witness offsets, via the suffix-array kernel
+    (destor_spark/suffix.py; the north-star's suffix-array modality).
+
 Scale: emitted rows per doc = len(text)/stride, tunable; the gram hash
 join is a plain shuffle join with the same cap/star treatment as LSH
 buckets (hot grams = boilerplate — capped).
@@ -133,6 +140,76 @@ def _verify_udf(min_len: int):
         )
 
     return has_span
+
+
+def _span_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<span_len:long, a_off:long, b_off:long>")
+    def span(ta, tb):
+        import pandas as pd
+
+        from destor_spark.suffix import longest_common_span
+
+        # memoize per unique (a, b) text pair — hot near-dup families
+        # put the same texts in many candidate rows (same rationale as
+        # common_substring_flags' per-unique-text memo)
+        memo: dict = {}
+        out = []
+        for a, b in zip(ta.tolist(), tb.tolist()):
+            key = (a, b)
+            r = memo.get(key)
+            if r is None:
+                r = memo[key] = longest_common_span(a or "", b or "")
+            out.append(r)
+        return pd.DataFrame(out, columns=["span_len", "a_off", "b_off"])
+
+    return span
+
+
+def longest_span_pairs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Suffix-array exact-substring pass: (url_a, url_b, span_len,
+    a_off, b_off) for every candidate pair whose LONGEST exact shared
+    character span is >= cfg.substring_len.
+
+    Same candidate generation as substring_pairs (anchored grams — a
+    shared >=L span is guaranteed to surface a shared anchored gram);
+    the verify step upgrades the boolean rolling-hash kernel to the
+    suffix-array kernel (destor_spark.suffix), so the output carries a
+    SPAN CERTIFICATE: exact maximal length plus a witness offset in
+    each document — destor's byte-precision restore evidence
+    (reference recipes name (container, chunk) runs;
+    /root/reference/src/do_restore.c reconstructs byte-identical
+    streams from them) re-expressed at document scale.  Plan shape is
+    identical to substring_pairs: candidate join bounded by cap/star,
+    one Arrow batch per partition, no extra shuffle.
+    """
+    texts = pages.select("url", "text")
+    cand = candidate_substring_pairs(pages, cfg)
+    joined = (
+        cand.join(
+            texts.select(
+                F.col("url").alias("url_a"), F.col("text").alias("text_a")
+            ),
+            "url_a",
+        )
+        .join(
+            texts.select(
+                F.col("url").alias("url_b"), F.col("text").alias("text_b")
+            ),
+            "url_b",
+        )
+    )
+    span = _span_udf()
+    return (
+        joined.select(
+            "url_a",
+            "url_b",
+            span(F.col("text_a"), F.col("text_b")).alias("sp"),
+        )
+        .select("url_a", "url_b", "sp.span_len", "sp.a_off", "sp.b_off")
+        .filter(F.col("span_len") >= F.lit(cfg.substring_len))
+    )
 
 
 def substring_pairs(pages: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -736,6 +736,126 @@ GROUP BY 1, 2
 """
 
 
+def _sa_run_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def run_len(wa, wb):
+        import pandas as pd
+
+        from destor_spark.suffix import longest_common_token_run
+
+        return pd.Series(
+            [
+                longest_common_token_run(a, b)[0]
+                for a, b in zip(wa.tolist(), wb.tolist())
+            ]
+        )
+
+    return run_len
+
+
+def q_sa_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array exact-substring pass, measurement form: for every
+    candidate pair (same 7-token shared-gram rule + DF_CAP as
+    q_substring_span_pairs) the EXACT longest shared contiguous token
+    run, computed by the Manber-Myers suffix-array kernel
+    (destor_spark/suffix.py — the north-star's third modality beside
+    MinHash and SimHash).  The DuckDB oracle computes the same value by
+    a STRUCTURALLY DIFFERENT algorithm (diagonal match-islands over
+    window functions), so agreement cross-checks the kernel itself,
+    not a re-typed twin.  Lengths are in tokens (md5-free: a LENGTH is
+    portable by construction).  Char-level production form with span
+    offsets: operators/substring.longest_span_pairs.
+    """
+    W = 7
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("w")
+    )
+    g0 = (
+        d.filter(F.size("w") >= W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - F.lit(W - 1)),
+                        lambda i: F.array_join(F.slice(F.col("w"), i, W), " "),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    hot = (
+        g0.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("gram")
+    )
+    g = g0.join(F.broadcast(hot), "gram", "left_anti")
+    cand = (
+        g.alias("a")
+        .join(g.alias("b"), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    run = _sa_run_udf()
+    return (
+        cand.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", run(F.col("w_a"), F.col("w_b")).alias("span_len")
+        )
+    )
+
+
+# Oracle: longest common token run WITHOUT a suffix array — match
+# points (i, j) with tok_a[i] = tok_b[j] lie on diagonals d = i - j;
+# consecutive i within one diagonal share (i - row_number()), so the
+# longest run is max count over (diag, island) groups.  Independent
+# algorithm, same exact answer.
+SQL_SA_LONGEST_SPAN = f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x != '') AS w
+           FROM documents),
+g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w)-6,0)+1),
+        i -> array_to_string(w[i:i+6],' ')))) AS gram
+      FROM t WHERE len(w) >= 7),
+hot AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > {DF_CAP}),
+g AS (SELECT doc_id, gram FROM g0
+      WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.gram = g0.gram)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+pos AS (SELECT doc_id, unnest(w) AS tok,
+               unnest(range(1, len(w)+1)) AS i
+        FROM t),
+m AS (SELECT c.doc_a, c.doc_b, pa.i AS ia, pb.i AS ib
+      FROM cand c
+      JOIN pos pa ON pa.doc_id = c.doc_a
+      JOIN pos pb ON pb.doc_id = c.doc_b AND pb.tok = pa.tok),
+runs AS (SELECT doc_a, doc_b,
+                count(*) AS run_len
+         FROM (SELECT doc_a, doc_b, ia,
+                      ia - ib AS diag,
+                      ia - row_number() OVER (
+                          PARTITION BY doc_a, doc_b, ia - ib
+                          ORDER BY ia) AS island
+               FROM m)
+         GROUP BY doc_a, doc_b, diag, island)
+SELECT doc_a, doc_b, max(run_len) AS span_len
+FROM runs GROUP BY 1, 2
+"""
+
+
 def q_topk_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 most similar docs by exact n-gram Jaccard —
     destor's greedy champion-segment top-k selection
@@ -2796,6 +2916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "substring_span_pairs": q_substring_span_pairs,
+    "sa_longest_span": q_sa_longest_span,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -2847,6 +2968,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
     "simhash": SQL_SIMHASH,
     "substring_span_pairs": SQL_SUBSTRING_SPAN_PAIRS,
+    "sa_longest_span": SQL_SA_LONGEST_SPAN,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
