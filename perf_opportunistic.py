@@ -24,8 +24,11 @@ sys.path.insert(0, REPO)
 
 from perf_scaling import (  # noqa: E402
     RUN_SNIPPET,
+    load_best_membw,
     load_best_probe,
+    membw_probe,
     probe,
+    save_best_membw,
     save_best_probe,
 )
 
@@ -102,6 +105,33 @@ def main() -> None:
         os.replace(shm_path + ".tmp", shm_path)
     path = shm_path
     best = load_best_probe()
+    best_bw = load_best_membw()
+
+    def take_probe() -> dict:
+        """Dual-dimension health probe: ALU ops AND memory bandwidth.
+        The r5 next-day regime proved the ALU probe alone is blind to
+        bandwidth-level contention (cpu frac 0.86-0.88 while shuffle
+        stages ran 2-2.7x slow, stage A/B in BENCH.md); a pair is only
+        healthy when BOTH dimensions are near best."""
+        nonlocal best, best_bw
+        p = probe()
+        bw = membw_probe()
+        if p > best:
+            best = p
+            save_best_probe(p)
+        if bw > best_bw:
+            best_bw = bw
+            save_best_membw(bw)
+        cpu_frac = p / best if best else 0.0
+        bw_frac = bw / best_bw if best_bw else 0.0
+        return {
+            "ops": p,
+            "cpu_frac": round(cpu_frac, 3),
+            "bw": bw,
+            "bw_frac": round(bw_frac, 3),
+            "frac": round(min(cpu_frac, bw_frac), 3),
+        }
+
     while True:
         if os.path.exists(PAUSE):
             _set_state("paused")
@@ -109,17 +139,20 @@ def main() -> None:
             time.sleep(60)
             continue
         _set_state("probing")
-        p0 = probe()
-        if p0 > best:
-            best = p0
-            save_best_probe(p0)
-        frac = p0 / best if best else 0.0
+        pr0 = take_probe()
+        frac = pr0["frac"]
         if frac < FLOOR:
-            _set_state("degraded", frac=round(frac, 3))
-            print(f"degraded ({frac:.2f}), sleeping 120s", flush=True)
+            _set_state(
+                "degraded", frac=frac, cpu=pr0["cpu_frac"], bw=pr0["bw_frac"]
+            )
+            print(
+                f"degraded (min {frac:.2f}: cpu {pr0['cpu_frac']:.2f}, "
+                f"membw {pr0['bw_frac']:.2f}), sleeping 120s",
+                flush=True,
+            )
             time.sleep(120)
             continue
-        _set_state("pair_running", n_docs=N_DOCS, probe0=round(frac, 3))
+        _set_state("pair_running", n_docs=N_DOCS, probe0=frac)
         # Alternate which leg runs first: the host's degradation phases
         # are minutes-long, so a fixed low-then-high order systematically
         # lands the HIGH leg deeper into a decaying window (observed:
@@ -134,13 +167,18 @@ def main() -> None:
             "t": time.strftime("%H:%M:%S"),
             "cores": [CORES_LOW, CORES_HIGH],
             "order": list(order),
-            "probe0": round(frac, 3),
+            # probe fields are min(cpu, membw) fractions; *_cpu/*_bw
+            # carry the per-dimension readings
+            "probe0": frac,
+            "probe0_cpu": pr0["cpu_frac"],
+            "probe0_bw": pr0["bw_frac"],
             # raw ops/s beside each fraction: the session-best baseline
             # ratchets up over time (and .bench_cache is wiped between
             # rounds), so fractions written early can under- or
             # over-state health — raw values let analysis renormalize
             # every historical row against the final best.
-            "probe0_ops": p0,
+            "probe0_ops": pr0["ops"],
+            "probe0_bw_bytes": pr0["bw"],
         }
         walls = {}
         try:
@@ -153,14 +191,14 @@ def main() -> None:
                 f.write(json.dumps(pair) + "\n")
             print(json.dumps(pair), flush=True)
             continue
-        p1 = probe()
-        if p1 > best:
-            best = p1
-            save_best_probe(p1)
+        pr1 = take_probe()
         walls[order[0]] = ra["wall"]
         pair[f"wall_{order[0]}"] = ra["wall"]
-        pair["probe_mid"] = round(p1 / best, 3)
-        pair["probe_mid_ops"] = p1
+        pair["probe_mid"] = pr1["frac"]
+        pair["probe_mid_cpu"] = pr1["cpu_frac"]
+        pair["probe_mid_bw"] = pr1["bw_frac"]
+        pair["probe_mid_ops"] = pr1["ops"]
+        pair["probe_mid_bw_bytes"] = pr1["bw"]
         try:
             rb = one_run(order[1], path)
         except RuntimeError as exc:
@@ -169,14 +207,14 @@ def main() -> None:
                 f.write(json.dumps(pair) + "\n")
             print(json.dumps(pair), flush=True)
             continue
-        p2 = probe()
-        if p2 > best:
-            best = p2
-            save_best_probe(p2)
+        pr2 = take_probe()
         walls[order[1]] = rb["wall"]
         pair[f"wall_{order[1]}"] = rb["wall"]
-        pair["probe_end"] = round(p2 / best, 3)
-        pair["probe_end_ops"] = p2
+        pair["probe_end"] = pr2["frac"]
+        pair["probe_end_cpu"] = pr2["cpu_frac"]
+        pair["probe_end_bw"] = pr2["bw_frac"]
+        pair["probe_end_ops"] = pr2["ops"]
+        pair["probe_end_bw_bytes"] = pr2["bw"]
         pair["n_docs"] = N_DOCS
         pair["speedup"] = round(walls[CORES_LOW] / walls[CORES_HIGH], 2)
         pair["eff"] = round(

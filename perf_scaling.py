@@ -79,6 +79,36 @@ if __name__ == "__main__":
 """
 
 
+# Second probe dimension: MEMORY BANDWIDTH.  The ALU probe above is
+# blind to an observed host mode where compute reads ~0.87 of best but
+# shuffle-heavy Spark stages run at ~0.55x (r5 next-day regime: stage
+# A/B showed signatures +32% while simhash/CC/verify inflated 2-2.7x —
+# the signature of bandwidth-level neighbor contention, since shuffle
+# writes/reads and Arrow transposes are memcpy-bound while the hash
+# kernels are ALU-bound).  8 workers x 128 MB streaming copies
+# saturate the memory controllers the way a shuffle does.
+MEMBW_SNIPPET = r"""
+import multiprocessing as mp, time, json
+import numpy as np
+
+def stream(_):
+    a = np.ones(64_000_000, dtype=np.uint8)
+    b = np.empty_like(a)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 1.0:
+        np.copyto(b, a)
+        n += 1
+    return n * a.nbytes * 2  # bytes read + written
+
+if __name__ == "__main__":
+    t0 = time.time()
+    with mp.Pool(8) as p:
+        moved = sum(p.map(stream, range(8)))
+    print(json.dumps({"membw_bytes_per_sec": round(moved / (time.time() - t0))}))
+"""
+
+
 _PROBE_BEST_FILE = os.path.join(REPO, ".bench_cache", "probe_best.json")
 
 
@@ -89,21 +119,56 @@ def probe() -> float:
     return json.loads(out.stdout.strip().splitlines()[-1])["probe_ops_per_sec"]
 
 
+def membw_probe() -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", MEMBW_SNIPPET], capture_output=True, text=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])[
+        "membw_bytes_per_sec"
+    ]
+
+
+def _load_best_dict() -> dict:
+    try:
+        with open(_PROBE_BEST_FILE) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_best_dict(d: dict) -> None:
+    os.makedirs(os.path.dirname(_PROBE_BEST_FILE), exist_ok=True)
+    with open(_PROBE_BEST_FILE, "w") as f:
+        json.dump(d, f)
+
+
 def load_best_probe() -> float:
     """Best-known machine capacity persists across invocations —
     otherwise a run started inside a degraded phase calibrates against
     the degraded baseline and happily records garbage."""
     try:
-        with open(_PROBE_BEST_FILE) as f:
-            return float(json.load(f)["best"])
-    except (OSError, ValueError, KeyError):
+        return float(_load_best_dict()["best"])
+    except (ValueError, KeyError):
         return 0.0
 
 
 def save_best_probe(v: float) -> None:
-    os.makedirs(os.path.dirname(_PROBE_BEST_FILE), exist_ok=True)
-    with open(_PROBE_BEST_FILE, "w") as f:
-        json.dump({"best": v}, f)
+    d = _load_best_dict()
+    d["best"] = v
+    _save_best_dict(d)
+
+
+def load_best_membw() -> float:
+    try:
+        return float(_load_best_dict()["membw_best"])
+    except (ValueError, KeyError):
+        return 0.0
+
+
+def save_best_membw(v: float) -> None:
+    d = _load_best_dict()
+    d["membw_best"] = v
+    _save_best_dict(d)
 
 
 def one_run(cores: int, path: str) -> dict:
