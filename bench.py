@@ -203,16 +203,30 @@ def bench_media_features(spark, n_rows: int) -> float:
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
-def _probe_frac() -> tuple[float, float]:
-    """(probe ops/s, fraction of session-best).  Reuses perf_scaling's
-    calibration probe + persisted best so bench and scaling runs share
-    one baseline."""
+def _probe_frac() -> dict:
+    """Dual-dimension health probe, as fractions of the persisted
+    session-best (shared with perf_scaling so bench and scaling runs
+    calibrate against one baseline).  The ALU dimension alone is blind
+    to bandwidth-level neighbor contention (BENCH.md r5 audit notes
+    2-3: shuffle/Arrow stages ran 2-2.7x slow under cpu_frac ~0.87
+    while streaming-copy bandwidth read 0.003-0.44 of best), so the
+    headline `frac` is min(cpu, membw) and both dimensions are emitted
+    so a reader can renormalize the round's numbers."""
     import perf_scaling as PS
 
     p = PS.probe()
     best = max(p, PS.load_best_probe())
     PS.save_best_probe(best)
-    return p, round(p / best, 3)
+    bw = PS.membw_probe()
+    best_bw = max(bw, PS.load_best_membw())
+    PS.save_best_membw(best_bw)
+    cpu_frac = round(p / best, 3)
+    bw_frac = round(bw / best_bw, 3)
+    return {
+        "frac": min(cpu_frac, bw_frac),
+        "cpu": cpu_frac,
+        "membw": bw_frac,
+    }
 
 
 def default_bench() -> None:
@@ -224,9 +238,9 @@ def default_bench() -> None:
 
     per_query: dict[str, float] = {}
     dedup_n = 0
-    probes: list[float] = []
+    probes: list[dict] = []
     for _ in range(REPEATS):
-        probes.append(_probe_frac()[1])
+        probes.append(_probe_frac())
         for name in HEADLINE:
             fn = Q.QUERIES[name]
             t0 = time.time()
@@ -249,7 +263,7 @@ def default_bench() -> None:
         per_query["media_features_volume"] = min(
             per_query.get("media_features_volume", w), w
         )
-    probes.append(_probe_frac()[1])
+    probes.append(_probe_frac())
 
     docs_per_sec = round(dedup_n / per_query["webpages_dedup_pipeline"], 1)
     total = round(sum(per_query.values()), 3)
@@ -265,7 +279,11 @@ def default_bench() -> None:
                 "dedup_docs_per_sec": docs_per_sec,
                 "cpus": CPUS,
                 "protocol": f"min-of-{REPEATS} alternating rounds",
-                "probe_fracs": probes,
+                # min(cpu, membw) per bracketing probe, for continuity
+                # with earlier rounds' scalar probe_fracs
+                "probe_fracs": [pr["frac"] for pr in probes],
+                "probe_cpu_fracs": [pr["cpu"] for pr in probes],
+                "probe_membw_fracs": [pr["membw"] for pr in probes],
             }
         )
     )
