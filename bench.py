@@ -220,12 +220,18 @@ def _probe_frac() -> dict:
     bw = PS.membw_probe()
     best_bw = max(bw, PS.load_best_membw())
     PS.save_best_membw(best_bw)
+    pf = PS.pgfault_probe()
+    best_pf = max(pf, PS.load_best_pgfault())
+    PS.save_best_pgfault(best_pf)
     cpu_frac = round(p / best, 3)
     bw_frac = round(bw / best_bw, 3)
     return {
         "frac": min(cpu_frac, bw_frac),
         "cpu": cpu_frac,
         "membw": bw_frac,
+        # observational: host same-page-merge / COW-fault pressure
+        # (BENCH.md r5 audit note 4) — recorded, not part of `frac`
+        "pgfault": round(pf / best_pf, 3),
     }
 
 
@@ -284,6 +290,7 @@ def default_bench() -> None:
                 "probe_fracs": [pr["frac"] for pr in probes],
                 "probe_cpu_fracs": [pr["cpu"] for pr in probes],
                 "probe_membw_fracs": [pr["membw"] for pr in probes],
+                "probe_pgfault_fracs": [pr["pgfault"] for pr in probes],
             }
         )
     )

@@ -25,10 +25,13 @@ sys.path.insert(0, REPO)
 from perf_scaling import (  # noqa: E402
     RUN_SNIPPET,
     load_best_membw,
+    load_best_pgfault,
     load_best_probe,
     membw_probe,
+    pgfault_probe,
     probe,
     save_best_membw,
+    save_best_pgfault,
     save_best_probe,
 )
 
@@ -106,29 +109,40 @@ def main() -> None:
     path = shm_path
     best = load_best_probe()
     best_bw = load_best_membw()
+    best_pf = load_best_pgfault()
 
     def take_probe() -> dict:
-        """Dual-dimension health probe: ALU ops AND memory bandwidth.
-        The r5 next-day regime proved the ALU probe alone is blind to
-        bandwidth-level contention (cpu frac 0.86-0.88 while shuffle
-        stages ran 2-2.7x slow, stage A/B in BENCH.md); a pair is only
-        healthy when BOTH dimensions are near best."""
-        nonlocal best, best_bw
+        """Health probe: ALU ops AND true memory bandwidth gate the
+        sampling (the r5 next-day regime proved the ALU probe alone is
+        blind to memory-level contention: cpu frac 0.86-0.88 while
+        shuffle stages ran 2-2.7x slow, stage A/B in BENCH.md); the
+        page-fault/same-page-merge pressure dimension is RECORDED per
+        probe but not gated on — its healthy range is uncharacterized
+        and it swings 500x with host page-dedup activity (BENCH.md r5
+        audit note 4)."""
+        nonlocal best, best_bw, best_pf
         p = probe()
         bw = membw_probe()
+        pf = pgfault_probe()
         if p > best:
             best = p
             save_best_probe(p)
         if bw > best_bw:
             best_bw = bw
             save_best_membw(bw)
+        if pf > best_pf:
+            best_pf = pf
+            save_best_pgfault(pf)
         cpu_frac = p / best if best else 0.0
         bw_frac = bw / best_bw if best_bw else 0.0
+        pf_frac = pf / best_pf if best_pf else 0.0
         return {
             "ops": p,
             "cpu_frac": round(cpu_frac, 3),
             "bw": bw,
             "bw_frac": round(bw_frac, 3),
+            "pf": pf,
+            "pf_frac": round(pf_frac, 3),
             "frac": round(min(cpu_frac, bw_frac), 3),
         }
 
@@ -179,6 +193,8 @@ def main() -> None:
             # every historical row against the final best.
             "probe0_ops": pr0["ops"],
             "probe0_bw_bytes": pr0["bw"],
+            "probe0_pf": pr0["pf_frac"],
+            "probe0_pf_bytes": pr0["pf"],
         }
         walls = {}
         try:
@@ -199,6 +215,8 @@ def main() -> None:
         pair["probe_mid_bw"] = pr1["bw_frac"]
         pair["probe_mid_ops"] = pr1["ops"]
         pair["probe_mid_bw_bytes"] = pr1["bw"]
+        pair["probe_mid_pf"] = pr1["pf_frac"]
+        pair["probe_mid_pf_bytes"] = pr1["pf"]
         try:
             rb = one_run(order[1], path)
         except RuntimeError as exc:
@@ -215,6 +233,8 @@ def main() -> None:
         pair["probe_end_bw"] = pr2["bw_frac"]
         pair["probe_end_ops"] = pr2["ops"]
         pair["probe_end_bw_bytes"] = pr2["bw"]
+        pair["probe_end_pf"] = pr2["pf_frac"]
+        pair["probe_end_pf_bytes"] = pr2["pf"]
         pair["n_docs"] = N_DOCS
         pair["speedup"] = round(walls[CORES_LOW] / walls[CORES_HIGH], 2)
         pair["eff"] = round(

@@ -87,13 +87,25 @@ if __name__ == "__main__":
 # writes/reads and Arrow transposes are memcpy-bound while the hash
 # kernels are ALU-bound).  8 workers x 128 MB streaming copies
 # saturate the memory controllers the way a shuffle does.
+#
+# The buffers MUST be per-page-unique and pre-faulted: the first
+# version of this probe copied all-ones buffers, whose identical 4 KB
+# pages the host's same-page merging (KSM / hypervisor page dedup)
+# collapses to one physical page — the timed loop then measured
+# COW-break page-fault service rate, not DRAM (observed: 0.2-1.5
+# "GB/s" with 90% sys time in the same window where this fixed probe
+# reads 32 GB/s and a single-thread copy reads 15 GB/s; the 119 GB/s
+# "best" the old probe once recorded is the opposite artifact — reads
+# served from one merged, cache-resident physical page).  uint64
+# arange content makes every page distinct (unmergeable), and b is
+# faulted in before the clock starts.
 MEMBW_SNIPPET = r"""
 import multiprocessing as mp, time, json
 import numpy as np
 
-def stream(_):
-    a = np.ones(64_000_000, dtype=np.uint8)
-    b = np.empty_like(a)
+def stream(seed):
+    a = np.arange(seed * 8_000_000, (seed + 1) * 8_000_000, dtype=np.uint64)
+    b = a.copy()  # pre-fault the destination before timing
     t0 = time.time()
     n = 0
     while time.time() - t0 < 1.0:
@@ -106,6 +118,39 @@ if __name__ == "__main__":
     with mp.Pool(8) as p:
         moved = sum(p.map(stream, range(8)))
     print(json.dumps({"membw_bytes_per_sec": round(moved / (time.time() - t0))}))
+"""
+
+
+# Third, observational dimension: HOST PAGE-MANAGEMENT PRESSURE.  The
+# buggy first membw snippet turned out to be a sensitive detector of a
+# real host mode — when the hypervisor/kernel is aggressively merging
+# same-content pages, a loop that recreates mergeable pages and then
+# rewrites them spends its life in COW-break faults (observed swinging
+# 119 -> 0.2 "GB/s" within 90 min).  A 32 GB pre-touched JVM heap is
+# exactly such a merge target, so this regime plausibly slows
+# allocation-heavy Spark phases while leaving pure ALU intact.  Kept
+# deliberately, renamed for what it measures; recorded per row for
+# renormalization but NOT gated on (its healthy range is not yet
+# characterized, and gating on it could block sampling indefinitely).
+PGFAULT_SNIPPET = r"""
+import multiprocessing as mp, time, json
+import numpy as np
+
+def churn(_):
+    a = np.ones(64_000_000, dtype=np.uint8)  # mergeable: identical pages
+    b = np.empty_like(a)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 1.0:
+        np.copyto(b, a)
+        n += 1
+    return n * a.nbytes * 2
+
+if __name__ == "__main__":
+    t0 = time.time()
+    with mp.Pool(8) as p:
+        moved = sum(p.map(churn, range(8)))
+    print(json.dumps({"pgfault_bytes_per_sec": round(moved / (time.time() - t0))}))
 """
 
 
@@ -168,6 +213,28 @@ def load_best_membw() -> float:
 def save_best_membw(v: float) -> None:
     d = _load_best_dict()
     d["membw_best"] = v
+    _save_best_dict(d)
+
+
+def pgfault_probe() -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", PGFAULT_SNIPPET], capture_output=True, text=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])[
+        "pgfault_bytes_per_sec"
+    ]
+
+
+def load_best_pgfault() -> float:
+    try:
+        return float(_load_best_dict()["pgfault_best"])
+    except (ValueError, KeyError):
+        return 0.0
+
+
+def save_best_pgfault(v: float) -> None:
+    d = _load_best_dict()
+    d["pgfault_best"] = v
     _save_best_dict(d)
 
 
