@@ -34,6 +34,54 @@ _MALLOC_ENV = {
 }
 
 
+def _submitted_master() -> str | None:
+    """Master provided by the launcher, if any.
+
+    `spark-submit --master ...` (and spark-defaults.conf) surface as
+    the `spark.master` system property of the launcher JVM.  PySpark's
+    SparkConf stays a LOCAL dict until the py4j gateway exists, so the
+    gateway must be initialized first: under spark-submit this connects
+    to the already-running launcher JVM (PYSPARK_GATEWAY_PORT), under
+    bare python it starts the same JVM build_session needs a moment
+    later.  Returns None when the launcher provided no master.
+
+    Gated on PYSPARK_GATEWAY_PORT (set by spark-submit's PythonRunner
+    before the user code runs): a bare-python-spawned gateway carries
+    SparkSubmit's own local[*] default in spark.master, which would
+    read as a launcher choice and swallow SPARK_GRAFT_MASTER.
+    """
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        return None
+    try:
+        from pyspark import SparkConf
+        from pyspark.context import SparkContext
+
+        SparkContext._ensure_initialized()
+        return SparkConf().get("spark.master", None)
+    except Exception:
+        return None
+
+
+def resolve_master(arg: str | None) -> str:
+    """Master resolution order: explicit argument, then the launcher's
+    `--master` (spark-submit), then SPARK_GRAFT_MASTER, then local[*].
+
+    The launcher must outrank the env override: `spark-submit --master
+    yarn` with a leftover SPARK_GRAFT_MASTER in the environment should
+    run on the cluster the user named on the command line.  (Before
+    r5-final, build_session unconditionally defaulted to local[*],
+    silently hijacking any spark-submit --master into local mode —
+    the north-rule deployment path ran single-node unless the app-level
+    --master flag was also passed.)
+    """
+    if arg:
+        return arg
+    sub = _submitted_master()
+    if sub:
+        return sub
+    return os.environ.get("SPARK_GRAFT_MASTER") or "local[*]"
+
+
 def build_session(
     app: str = "destor-spark",
     master: str | None = None,
@@ -45,7 +93,7 @@ def build_session(
     # spark.executorEnv.* configs below carry the same values.
     for k, v in _MALLOC_ENV.items():
         os.environ.setdefault(k, v)
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    master = resolve_master(master)
     cores = os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = int(

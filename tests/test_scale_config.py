@@ -27,3 +27,24 @@ def test_scale_profile_assignment_parity(spark):
     b = _assignments(spark, SCALE_CONFIG, pages)
     assert a["cluster_id"].nunique() < len(a), "fixture has no dups"
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_resolve_master_order(monkeypatch):
+    """Deployment-path regression (r5): spark-submit's --master must
+    win over the env override and the local[*] default — before the
+    fix build_session hijacked every spark-submit into local[*] unless
+    the app-level --master flag was ALSO passed."""
+    from destor_spark import session as S
+
+    # explicit argument always wins
+    monkeypatch.setattr(S, "_submitted_master", lambda: "yarn")
+    monkeypatch.setenv("SPARK_GRAFT_MASTER", "local[4]")
+    assert S.resolve_master("local[2]") == "local[2]"
+    # launcher-provided master outranks the env override
+    assert S.resolve_master(None) == "yarn"
+    # no launcher: env override applies
+    monkeypatch.setattr(S, "_submitted_master", lambda: None)
+    assert S.resolve_master(None) == "local[4]"
+    # bare python, nothing set: local[*]
+    monkeypatch.delenv("SPARK_GRAFT_MASTER")
+    assert S.resolve_master(None) == "local[*]"
