@@ -188,7 +188,6 @@ def bench_media_features(spark, n_rows: int) -> float:
     )
     from destor_spark.synth import ensure_media_corpus
 
-    n_docs = _N_BY_SF.get(_sf_label(SF_DIR), 5_000)
     path = ensure_media_corpus(
         os.path.join(REPO, ".bench_cache"), SEED, n_rows
     )

@@ -351,7 +351,11 @@ def ivf_assign_matmul(
     def cells(vecs: pd.Series) -> pd.Series:
         mat = np.asarray(vecs.tolist(), dtype=np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        msim = np.rint(mat @ cmat_n.T * 1_000_000).astype(np.int64)
+        s = mat @ cmat_n.T * 1_000_000
+        # HALF_UP (away from zero), matching JVM F.round / DuckDB
+        # round() in ivf_assign — np.rint is half-to-even, which flips
+        # the cell on exact-.5 micro-cosine ties vs the oracle path.
+        msim = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
         # centroid columns are already in ascending-id order, so a
         # stable sort on -msim breaks ties by centroid_id ASC
         top = np.argsort(-msim, axis=1, kind="stable")[:, :nprobe]

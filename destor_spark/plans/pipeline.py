@@ -116,33 +116,56 @@ def _query_mat_root(spark: SparkSession) -> str:
 
 
 _TAG_GENS: dict[tuple[str, str], int] = {}
+_TAG_INFLIGHT: set[tuple[str, str]] = set()
 _TAG_LOCK = threading.Lock()
 
 
 def _materialize_gen(df: DataFrame, tag: str, root: str) -> DataFrame:
     """Generation-versioned barrier for the reusable query root.
 
-    Writing mode=overwrite IN PLACE would break two things: a DataFrame
-    returned by an EARLIER invocation of the same query reads deleted
-    files after a re-invocation, and two concurrent invocations of one
-    query in one session race on the same path.  Here every invocation
-    writes a fresh `<tag>_g<N>` dir (the counter is session-global and
-    lock-guarded, so concurrent invocations get distinct dirs) and the
-    PREVIOUS generation is deleted only after the new write commits.
+    Writing mode=overwrite IN PLACE would break sequential
+    re-invocation: a DataFrame returned by an EARLIER invocation of the
+    same query reads deleted files after a re-invocation.  Here every
+    invocation writes a fresh `<tag>_g<N>` dir (the counter is
+    session-global and lock-guarded) and the PREVIOUS generation is
+    deleted only after the new write commits, so disk held per tag
+    stays bounded at one generation.
 
-    Single-consumer-per-generation still applies: a barrier DataFrame
-    from invocation N-1 becomes unreadable once invocation N commits —
-    fully consume (or re-run) a query's result before re-invoking it.
+    Contract — SEQUENTIAL single consumer per tag: a barrier DataFrame
+    from invocation N-1 becomes unreadable once invocation N commits,
+    so fully consume (or re-run) a query's result before re-invoking
+    it.  CONCURRENT invocations of the same query in one session are
+    NOT supported: invocation N's post-commit cleanup removes gen N-1
+    while a still-running invocation N-1 may be writing or reading it.
+    Overlap is detected under the lock and logged rather than silently
+    corrupting.
     """
     app_id = df.sparkSession.sparkContext.applicationId
+    key = (app_id, tag)
     with _TAG_LOCK:
-        gen = _TAG_GENS.get((app_id, tag), 0) + 1
-        _TAG_GENS[(app_id, tag)] = gen
-    path = os.path.join(root, f"{tag}_g{gen}")
-    df.write.mode("overwrite").parquet(path)
-    prev = os.path.join(root, f"{tag}_g{gen - 1}")
-    shutil.rmtree(prev, ignore_errors=True)
-    return df.sparkSession.read.parquet(path)
+        gen = _TAG_GENS.get(key, 0) + 1
+        _TAG_GENS[key] = gen
+        if key in _TAG_INFLIGHT:
+            import warnings
+
+            warnings.warn(
+                f"concurrent invocations of query barrier '{tag}' in one "
+                "session are unsupported (sequential single-consumer "
+                "contract); the overlapping run may fail on a removed "
+                f"generation dir ({tag}_g{gen - 1})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        _TAG_INFLIGHT.add(key)
+    try:
+        path = os.path.join(root, f"{tag}_g{gen}")
+        df.write.mode("overwrite").parquet(path)
+        prev = os.path.join(root, f"{tag}_g{gen - 1}")
+        shutil.rmtree(prev, ignore_errors=True)
+        return df.sparkSession.read.parquet(path)
+    finally:
+        with _TAG_LOCK:
+            _TAG_INFLIGHT.discard(key)
 
 
 def signatures_stage(

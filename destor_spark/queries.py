@@ -1056,7 +1056,13 @@ GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
 # count — the pre-tokenization that byte-pair merges start from — and
 # n_bpe/n_ws is the fertility-style stat a training-data pipeline
 # budgets with.
-_BPE_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+#
+# The whitespace class is spelled out instead of \s: Java's \s is
+# [ \t\n\x0B\f\r] while RE2's lacks \x0B, so a vertical tab in the
+# text would count as punctuation on the DuckDB side only and break
+# the oracle hash gate.  The explicit class pins both engines to the
+# same six characters.
+_BPE_RE = r" ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,7 +1094,7 @@ SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_chars,
 FROM (
   SELECT doc_id,
          len(list_filter(string_split(text,' '), x -> x != '')) AS n_ws_tokens,
-         len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens,
+         len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+')) AS n_bpe_tokens,
          length(text) AS n_chars
   FROM documents)
 """

@@ -43,7 +43,23 @@ def analyze(path: str, top_n: int = 12) -> list[dict]:
         }
     )
     cores = None
+
+    def app_key(p: str) -> str:
+        # Rolling logs (eventlog_v2, the format session.py enables)
+        # split ONE application across events_N_<app> shard files: a
+        # stage's TaskEnd events can land in a different shard than its
+        # StageCompleted.  Keying stages by shard path would split such
+        # a stage into a completed-but-empty row plus a discarded
+        # metrics-only row, silently understating run/gc/par/shuffle.
+        # Key by the application (the eventlog_v2_* dir) instead; a
+        # single-file log keeps its own path as the key.
+        d = os.path.dirname(p)
+        if os.path.basename(d).startswith("eventlog_v2"):
+            return d
+        return p
+
     for fp in files:
+        app = app_key(fp)
         # Spark compresses rolling shards (spark.eventLog.compress
         # default codec zstd); pyarrow ships a zstd decompressor.
         if fp.endswith(".zstd"):
@@ -69,17 +85,17 @@ def analyze(path: str, top_n: int = 12) -> list[dict]:
                         cores = m[6:-1]
                 elif e == "SparkListenerStageSubmitted":
                     si = ev["Stage Info"]
-                    key = (fp, si["Stage ID"], si["Stage Attempt ID"])
+                    key = (app, si["Stage ID"], si["Stage Attempt ID"])
                     stages[key]["name"] = si.get("Stage Name", "")[:60]
                     stages[key]["submit"] = si.get("Submission Time")
                 elif e == "SparkListenerStageCompleted":
                     si = ev["Stage Info"]
-                    key = (fp, si["Stage ID"], si["Stage Attempt ID"])
+                    key = (app, si["Stage ID"], si["Stage Attempt ID"])
                     stages[key]["submit"] = si.get("Submission Time")
                     stages[key]["complete"] = si.get("Completion Time")
                     stages[key]["name"] = si.get("Stage Name", "")[:60]
                 elif e == "SparkListenerTaskEnd":
-                    key = (fp, ev["Stage ID"], ev["Stage Attempt ID"])
+                    key = (app, ev["Stage ID"], ev["Stage Attempt ID"])
                     tm = ev.get("Task Metrics") or {}
                     ti = ev.get("Task Info") or {}
                     s = stages[key]
@@ -105,7 +121,7 @@ def analyze(path: str, top_n: int = 12) -> list[dict]:
                     sw = tm.get("Shuffle Write Metrics") or {}
                     s["shuf_w"] += sw.get("Shuffle Bytes Written", 0)
     rows = []
-    for (fp, sid, att), s in stages.items():
+    for (_app, sid, att), s in stages.items():
         if s["complete"] is None or s["submit"] is None:
             continue
         wall = (s["complete"] - s["submit"]) / 1000.0

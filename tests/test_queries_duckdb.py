@@ -85,3 +85,28 @@ def test_entry_contract(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_bpe_regex_engine_parity_vertical_tab(spark, ddb):
+    """_BPE_RE must count identically under Java regex (Spark) and RE2
+    (DuckDB) on texts containing \\x0B: Java's \\s includes vertical
+    tab, RE2's does not, so the pattern spells the whitespace class out
+    explicitly.  Regression for the r5 review finding."""
+    from pyspark.sql import functions as F
+
+    texts = ["ab \x0Bcd! 12\tx", "hello, world 42", "", "  !!\x0B\x0B  ",
+             "été café 3.14", "\x0B", "a\x0Bb"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    sp = [
+        r[0]
+        for r in df.select(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(Q._BPE_RE), F.lit(0)))
+        ).collect()
+    ]
+    du = [
+        ddb.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, Q._BPE_RE]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert sp == du, f"Java/RE2 divergence: {sp} vs {du}"
