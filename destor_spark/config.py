@@ -43,7 +43,10 @@ class DedupConfig:
     # --- skew handling (destor analogue: segment-size bounds
     #     segmenting_method.c:88-109 and capping cap_rewrite.c) ---
     bucket_cap: int = 64           # all-pairs above this switch to star pairing
-    bucket_hard_cap: int = 100_000 # buckets above this are logged + star-paired
+    bucket_hard_cap: int = 100_000 # buckets above this are flagged
+                                   # strategy='star_hot' in bucket_stats
+                                   # (still star-paired; the flag is the
+                                   # next run's salting/pre-split input)
     lsh_two_phase: bool = False    # True: size-preagg + semi-join path that
                                    # never holds a bucket in one task (extreme
                                    # skew regime); same pair semantics

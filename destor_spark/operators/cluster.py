@@ -74,6 +74,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
 TAIL_UNION_FIND_ROWS = 2_000_000
 
 
+def _chained_count(edges: DataFrame) -> int:
+    """Edges whose parent (v) is itself some edge's child (u) — zero
+    exactly when the relation is a star forest (every edge points
+    directly at a component root)."""
+    return edges.join(
+        edges.select(F.col("u").alias("v")).distinct(),
+        "v",
+        "left_semi",
+    ).count()
+
+
 def _union_find_finish(edges: DataFrame) -> DataFrame:
     """One-task path-compressed union-find over a SMALL edge relation;
     returns (url, cluster_id=component-min) for every node, roots
@@ -152,6 +163,7 @@ def connected_components(
     # convergence signal; the exact star-forest check then runs ONCE
     # to rule out a (2^-64-ish) hash-collision false positive.
     prev_fp = None
+    converged = False
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         fp = tuple(
@@ -167,14 +179,25 @@ def connected_components(
             # Converged iff the relation is a star forest: no child's
             # parent (v) is itself a child (appears as some u) — i.e.
             # every edge points directly at a component root.
-            chained = edges.join(
-                edges.select(F.col("u").alias("v")).distinct(),
-                "v",
-                "left_semi",
-            ).count()
+            chained = _chained_count(edges)
             if chained == 0:
+                converged = True
                 break
         prev_fp = fp
+    if not converged:
+        # max_rounds exhausted without a repeated fingerprint.  The
+        # relation may STILL be a star forest (converged on the very
+        # last round, fingerprint never got its repeat) — check once
+        # before deciding.  Falling through silently on a non-forest
+        # relation would emit multiple conflicting cluster_id rows per
+        # url, which assignments() then duplicates downstream.
+        if _chained_count(edges) != 0:
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_rounds} star rounds; raise cfg.max_cc_rounds "
+                "(each round at least halves tree depth, so rounds "
+                "needed ~ log2(longest chain))"
+            )
 
     # star edges: u -> root v; roots themselves appear only as v
     members = edges.select(

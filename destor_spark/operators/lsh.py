@@ -88,6 +88,37 @@ def bucket_pairs(
     return _bucket_pairs_two_phase(ex, cfg)
 
 
+def _strategy(size_col, cfg: DedupConfig):
+    """Per-bucket strategy label for bucket_stats: all_pairs below the
+    cap, star above it, star_hot above cfg.bucket_hard_cap.  star_hot
+    buckets are PAIRED identically to star (linear, head-connected) —
+    the label is the promised hot-bucket log line, persisted with the
+    run's bucket_stats lineage so the next run can salt or pre-split
+    those keys (the destor-HAR pattern, har_rewrite.c:17-180)."""
+    return (
+        F.when(size_col <= cfg.bucket_cap, F.lit("all_pairs"))
+        .when(size_col > cfg.bucket_hard_cap, F.lit("star_hot"))
+        .otherwise(F.lit("star"))
+    )
+
+
+def bucket_stats_only(ex: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """The bucket_stats relation WITHOUT the pair relation.
+
+    Row-identical to the stats output of bucket_pairs, but the shuffle
+    carries (band, key, partial_count) instead of member-struct arrays
+    (map-side combine on a plain count) — the right physics when a
+    consumer needs only the bucket inventory (run_checkpointed's HAR
+    lineage stage), where re-running the collect_list groupBy would
+    repeat the job's largest shuffle just to persist a tiny table."""
+    sizes = (
+        ex.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") >= 2)
+    )
+    return sizes.withColumn("strategy", _strategy(F.col("size"), cfg))
+
+
 def _combos(ms):
     """All i<j pairs of a sorted member-struct array, pure JVM."""
     return F.flatten(
@@ -128,9 +159,7 @@ def _bucket_pairs_single_phase(
         "band",
         "key",
         F.size("ms").alias("size"),
-        F.when(F.size("ms") <= cfg.bucket_cap, F.lit("all_pairs"))
-        .otherwise(F.lit("star"))
-        .alias("strategy"),
+        _strategy(F.size("ms"), cfg).alias("strategy"),
     )
     pair_array = F.when(
         F.size("ms") <= cfg.bucket_cap, _combos(F.col("ms"))
@@ -138,6 +167,11 @@ def _bucket_pairs_single_phase(
     pairs = (
         grouped.select(F.explode(pair_array).alias("p"))
         .select("p.url_a", "p.url_b")
+        # a url present TWICE in one bucket (streaming store + re-crawl
+        # of the same page, or duplicate input rows) would otherwise
+        # emit the degenerate self-pair (X, X) — the member structs
+        # differ on warc_ts, so i<j combination does not exclude it
+        .filter(F.col("url_a") != F.col("url_b"))
         .distinct()
     )
     return pairs, bucket_stats
@@ -150,10 +184,7 @@ def _bucket_pairs_two_phase(
     multi = sizes.filter(F.col("size") >= 2)
 
     bucket_stats = multi.withColumn(
-        "strategy",
-        F.when(F.col("size") <= cfg.bucket_cap, F.lit("all_pairs")).otherwise(
-            F.lit("star")
-        ),
+        "strategy", _strategy(F.col("size"), cfg)
     )
 
     # Inner join drops singleton buckets (the vast majority) before any
@@ -167,20 +198,12 @@ def _bucket_pairs_two_phase(
             F.collect_list(F.struct("warc_ts", "url"))
         ).alias("ms")
     )
-    # combinations: for i<j emit (ms[i], ms[j]) — pure JVM transform/flatten
-    pair_array = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x["url"].alias("url_a"), y["url"].alias("url_b")
-                ),
-            ),
-        )
-    )
-    small_pairs = grouped.select(F.explode(pair_array).alias("p")).select(
-        "p.url_a", "p.url_b"
+    small_pairs = (
+        grouped.select(F.explode(_combos(F.col("ms"))).alias("p"))
+        .select("p.url_a", "p.url_b")
+        # same self-pair guard as the single-phase path (a url twice in
+        # one bucket under different warc_ts)
+        .filter(F.col("url_a") != F.col("url_b"))
     )
 
     # --- oversized buckets: star to the bucket head (min (warc_ts,url)) ---

@@ -89,10 +89,9 @@ def with_signatures(df: DataFrame, cfg: DedupConfig,
 # fused text -> signature stage (mapInArrow, zero per-token objects)
 # ---------------------------------------------------------------------------
 
-_SIG_FIELDS = (
-    "sig array<bigint>, band_keys array<bigint>, n_shingles int, "
-    "simhash bigint"
-)
+# the fused stage emits the SAME signature columns as the pandas-UDF
+# path above — one constant, so the two stages cannot silently diverge
+_SIG_FIELDS = SIG_SCHEMA
 
 
 def _sig_batch_arrays(

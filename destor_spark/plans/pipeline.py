@@ -233,7 +233,13 @@ def run_pipeline(
     exact_edges = exact_op.exact_pairs(
         sigs.select("url", "warc_ts", "content_sha")
     )
-    pairs, bucket_stats = lsh_op.candidate_pairs(sigs, cfg)
+    pairs, _ = lsh_op.candidate_pairs(sigs, cfg)
+    # stats via the count-only aggregate: row-identical to the tuple's
+    # second element but a consumer touching res.bucket_stats pays one
+    # lean (band,key,count) shuffle instead of re-running the
+    # collect_list groupBy — the job's largest shuffle — from the sigs
+    # barrier a second time.
+    bucket_stats = lsh_op.bucket_stats_only(lsh_op.explode_bands(sigs), cfg)
     pairs = _materialize(pairs, "pairs", root)
     verified = _materialize(verify_op.verify_pairs(pairs, sigs, cfg), "verified", root)
 
@@ -319,7 +325,13 @@ def run_checkpointed(
     # run's hot-bucket inventory informs the next run's salting and is
     # part of the per-partition lineage (har_rewrite.c:17-180 inherits
     # the previous backup's sparse-container list the same way).
-    sr.run("bucket_stats", lambda: lsh_op.candidate_pairs(sigs, cfg)[1])
+    # bucket_stats_only, not candidate_pairs(...)[1]: the tuple form
+    # would re-run the whole collect_list explode/groupBy — the job's
+    # largest shuffle — a second time just to persist this small table.
+    sr.run(
+        "bucket_stats",
+        lambda: lsh_op.bucket_stats_only(lsh_op.explode_bands(sigs), cfg),
+    )
     verified = sr.run(
         "verified_pairs", lambda: verify_op.verify_pairs(pairs, sigs, cfg)
     )

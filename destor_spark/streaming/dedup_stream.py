@@ -46,21 +46,31 @@ def stream_exact_dedup(
     spark: SparkSession,
     in_dir: str,
     watermark: str = "1 hour",
+    files_per_trigger: int = 4,
 ) -> DataFrame:
-    """readStream -> watermark -> dropDuplicates(content hash).
+    """readStream -> watermark -> dropDuplicatesWithinWatermark(hash).
 
     Returns the streaming DataFrame (caller attaches the sink).  State
     is bounded by the event-time watermark — late duplicates beyond the
-    watermark are not deduped, mirroring destor's bounded cache."""
+    watermark are not deduped, mirroring destor's bounded cache.
+
+    dropDuplicatesWithinWatermark, NOT plain dropDuplicates: with the
+    event-time column absent from the dedup keys, Spark never applies
+    watermark eviction to dropDuplicates state, so every content hash
+    ever seen would be retained forever — unbounded state AND dedup
+    semantics the docstring above would misdescribe.  The
+    WithinWatermark variant evicts a hash once the watermark passes its
+    event time + delay, which is exactly the bounded-fingerprint-cache
+    contract (duplicates farther apart than the window both survive)."""
     src = (
         spark.readStream.schema(WEB_PAGES_DDL)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(in_dir)
     )
     hashed = exact_op.with_content_hash(src)
-    return hashed.withWatermark("warc_ts", watermark).dropDuplicates(
-        ["content_sha"]
-    )
+    return hashed.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["content_sha"])
 
 
 def run_incremental_dedup(
@@ -101,18 +111,31 @@ def run_incremental_dedup(
     seen), so the pair store grows with new data only.  availableNow
     trigger => terminates when the backlog drains.
 
+    At-least-once safety: the pair and signature stores are partitioned
+    by batch id and written with dynamic partition overwrite, so a
+    micro-batch replayed after a crash rewrites its own bid partitions
+    instead of appending duplicates; the band-store rewrite dedups
+    replayed (identical) rows before applying FIFO retention.
+    Verification always uses the NEWEST signature per url, so a
+    re-crawled page matches future candidates under its latest text.
+
     Event-time retention (max_event_age, e.g. "7 days"): alongside the
     batch-arrival FIFO, an event-time watermark — the max warc_ts seen
     across all batches, persisted monotonically in
     state_dir/watermark.json — defines a horizon = watermark - age.
     Same semantics as Spark's own streaming watermark, applied to the
     LSH branch:
-      * LATE-DATA DROP: batch rows with warc_ts < horizon never enter
-        the band store and generate no pairs (a too-late document is
-        not deduplicated — destor's bounded fingerprint cache has the
-        identical miss semantics for evicted entries);
-      * STATE EVICTION: on every touched-partition rewrite, stored
-        members with warc_ts < horizon are dropped, so bucket state is
+      * LATE-DATA DROP, against the PREVIOUS batches' watermark (the
+        watermark lags one batch, as in Spark, so a row is never
+        dropped by its own batch's max): batch rows with
+        warc_ts < prev_watermark - age never enter the band store and
+        generate no pairs (a too-late document is not deduplicated —
+        destor's bounded fingerprint cache has the identical miss
+        semantics for evicted entries);
+      * STATE EVICTION, against the ADVANCED watermark (Spark evicts
+        at batch end with the value that governs the next batch): on
+        every touched-partition rewrite, stored members with
+        warc_ts < watermark - age are dropped, so bucket state is
         bounded by the event-time window as well as by the FIFO k.
         Untouched partitions evict lazily at their next touch (their
         bytes are already bounded by the FIFO rule).
@@ -151,7 +174,13 @@ def run_incremental_dedup(
         sigs = _materialize(
             signatures_stage(batch, cfg), f"b{batch_id}_sigs", root
         )
-        horizon = None
+        if not sigs.head(1):
+            # foreachBatch can deliver an empty micro-batch; writing
+            # empty stores would leave _SUCCESS-only parquet dirs that
+            # crash the next batch's read (UNABLE_TO_INFER_SCHEMA)
+            return
+        drop_horizon = None
+        evict_horizon = None
         if age is not None:
             prev = None
             if os.path.exists(wm_path):
@@ -160,11 +189,22 @@ def run_incremental_dedup(
             row = sigs.agg(F.max("warc_ts").alias("m")).first()
             batch_max = pd.Timestamp(row["m"]) if row["m"] else None
             wm = max(p for p in (prev, batch_max) if p is not None) \
-                if (prev or batch_max) else None
+                if (prev is not None or batch_max is not None) else None
+            # Spark watermark semantics, split in two: the LATE-DATA
+            # DROP uses the PREVIOUS batches' watermark (Spark's
+            # watermark lags one batch precisely so that rows arriving
+            # in the same batch as the new high-point are never dropped
+            # by their own batch's max), while STATE EVICTION uses the
+            # ADVANCED watermark (Spark evicts at batch end with the
+            # value that will govern the next batch).  Using the
+            # advanced value for both silently lost on-time rows that
+            # shared a batch with a much newer document.
+            if prev is not None:
+                drop_horizon = prev - age
             if wm is not None:
                 with open(wm_path, "w") as f:
                     json.dump({"watermark": wm.isoformat()}, f)
-                horizon = wm - age
+                evict_horizon = wm - age
         new_bands = lsh_op.explode_bands(sigs).select(
             "url",
             "warc_ts",
@@ -173,10 +213,10 @@ def run_incremental_dedup(
             "key",
             F.pmod("key", F.lit(n_key_buckets)).alias("kb"),
         )
-        if horizon is not None:
+        if drop_horizon is not None:
             # late-data drop: too-late rows join no bucket
             new_bands = new_bands.filter(
-                F.col("warc_ts") >= F.lit(horizon.isoformat()).cast(
+                F.col("warc_ts") >= F.lit(drop_horizon.isoformat()).cast(
                     "timestamp"
                 )
             )
@@ -188,17 +228,32 @@ def run_incremental_dedup(
             old = spark.read.parquet(band_store).filter(
                 F.col("kb").isin(touched_kbs)
             )
+            if evict_horizon is not None:
+                # event-time eviction of STORED members on the
+                # partitions being rewritten.  Only the old side: the
+                # current batch's own rows must participate in their
+                # own batch (they already passed the lagging late-data
+                # bar above) — evicting them here with the watermark
+                # their own batch just advanced would silently suppress
+                # on-time rows, the same defect as deriving the drop
+                # horizon from the batch's own max.  They enter the
+                # store and expire at a later touch (lazy, like
+                # untouched partitions).
+                old = old.filter(
+                    F.col("warc_ts")
+                    >= F.lit(evict_horizon.isoformat()).cast("timestamp")
+                )
             merged = old.select(*band_cols, "kb").unionByName(new_bands)
         else:
             merged = new_bands
 
-        if horizon is not None:
-            # event-time eviction on the partitions being rewritten
-            merged = merged.filter(
-                F.col("warc_ts") >= F.lit(horizon.isoformat()).cast(
-                    "timestamp"
-                )
-            )
+        # foreachBatch is at-least-once: a batch replayed after a crash
+        # between the band-store rewrite and the stream commit re-unions
+        # rows the store already holds.  Replayed rows are IDENTICAL on
+        # every column (bid included), so a key-wide dropDuplicates on
+        # the touched partitions makes the rewrite idempotent — without
+        # it, duplicates burn FIFO slots twice.
+        merged = merged.dropDuplicates(band_cols)
 
         # FIFO newest-k per (band, key): arrival order = (bid, warc_ts, url)
         w = Window.partitionBy("band", "key").orderBy(
@@ -211,12 +266,16 @@ def run_incremental_dedup(
             f"b{batch_id}_retained",
             root,
         )
-        (
-            retained.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("kb")
-            .parquet(band_store)
-        )
+        if retained.head(1):
+            # an all-dropped batch (every row beyond the horizon) must
+            # not create an empty-store dir; dynamic overwrite with an
+            # empty frame rewrites nothing anyway
+            (
+                retained.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("kb")
+                .parquet(band_store)
+            )
 
         # candidates: only buckets this batch touched, only retained members
         new_keys = new_bands.select("band", "key").distinct()
@@ -264,17 +323,48 @@ def run_incremental_dedup(
             old_sigs = (
                 spark.read.parquet(sig_store)
                 .filter(F.col("ub").isin(ubs))
-                .drop("ub")
+                .drop("ub", "bid")
             )
             all_sigs = sigs.unionByName(old_sigs)
-        verified = verify_op.verify_pairs(pairs, all_sigs, cfg)
-        verified.write.mode("append").parquet(pair_store)
+        # A url present in BOTH the batch and the store (re-crawl) — or
+        # in multiple prior batches — would fan every candidate pair
+        # out per signature copy in verify's two joins and emit
+        # contradictory est values.  Keep the NEWEST signature per url
+        # (matching the band store's FIFO newest-first rule); the
+        # row_number tiebreak on warc_ts alone is fine because a replay
+        # duplicate is identical anyway.
+        w_url = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+        all_sigs = (
+            all_sigs.withColumn("_rn", F.row_number().over(w_url))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        verified = _materialize(  # barrier: consumed by head(1) + write
+            verify_op.verify_pairs(pairs, all_sigs, cfg),
+            f"b{batch_id}_verified",
+            root,
+        )
+        # Durable outputs are partitioned by batch id and written with
+        # dynamic partition overwrite: an at-least-once replay of batch
+        # N rewrites exactly the bid=N partitions instead of appending
+        # the same rows twice (blind append double-counted pairs and
+        # duplicated signature rows on retry).
+        if verified.head(1):
+            (
+                verified.withColumn("bid", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bid")
+                .parquet(pair_store)
+            )
         (
             sigs.withColumn(
                 "ub", F.pmod(F.xxhash64("url"), F.lit(n_url_buckets))
             )
-            .write.mode("append")
-            .partitionBy("ub")
+            .withColumn("bid", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ub", "bid")
             .parquet(sig_store)
         )
 

@@ -73,3 +73,27 @@ def test_mid_loop_tail_switch(spark):
         for r in connected_components(df, tail_rows=40).collect()
     }
     assert set(got.values()) == {"n0000"} and len(got) == n
+
+
+def test_nonconvergence_raises_instead_of_emitting_conflicts(spark):
+    """max_rounds exhausted on a non-star-forest relation must raise,
+    not fall through to star extraction (which would emit multiple
+    conflicting cluster_id rows per url).  tail_rows=0 disables the
+    union-find shortcut so the star loop is actually exercised."""
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "url_a string, url_b string"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=0, tail_rows=0)
+
+
+def test_converged_on_final_round_without_fp_repeat(spark):
+    """A relation that becomes a star forest exactly on the last
+    allowed round never gets its fingerprint repeat — the post-loop
+    star-forest check must accept it rather than raise."""
+    df = spark.createDataFrame([("a", "b")], "url_a string, url_b string")
+    rows = connected_components(df, max_rounds=1, tail_rows=0).collect()
+    got = {r["url"]: r["cluster_id"] for r in rows}
+    assert got == {"a": "a", "b": "a"}

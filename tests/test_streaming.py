@@ -249,3 +249,150 @@ def test_stateful_keep_first_across_batches(spark, tmp_path):
     # the emitted row per hash is the (warc_ts, url)-minimum... within
     # its first-arriving batch; across-batch suppression is the claim
     assert got["url"].is_unique
+
+
+def _write_pages(path, rows, text_fn=None):
+    """rows: list of (url, ts[, text])."""
+    recs = []
+    for r in rows:
+        u, ts = r[0], r[1]
+        text = r[2] if len(r) > 2 else "shared duplicated body text " * 20
+        recs.append(
+            {"url": u, "warc_ts": ts, "html": b"", "text": text, "lang": "en"}
+        )
+    df = pd.DataFrame(recs)
+    df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+    df.to_parquet(path, index=False)
+
+
+def test_same_batch_late_arrival_not_dropped(spark, cfg, tmp_path):
+    """The late-data drop must lag one batch (Spark watermark
+    semantics): a row arriving in the SAME batch as the new watermark
+    high-point is on time and must be dedup-checked, even if it is
+    older than new_max - age.  Regression: the horizon was derived
+    from the current batch's own max, silently losing such rows."""
+    in_dir = str(tmp_path / "in_lag")
+    state = str(tmp_path / "state_lag")
+    os.makedirs(in_dir)
+    day = lambda d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)  # noqa: E731
+
+    _write_pages(
+        os.path.join(in_dir, "b1.parquet"),
+        [("u10", day(10), "some entirely unrelated first text " * 20)],
+    )
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+
+    # batch 2: u20 sets the new max (day 30); u21 (day 22) is older
+    # than 30 - 5 = day 25 but on time vs the LAGGING horizon
+    # (10 - 5 = day 5).  u20/u21 share text => the pair must be found.
+    _write_pages(
+        os.path.join(in_dir, "b2.parquet"),
+        [("u20", day(30)), ("u21", day(22))],
+    )
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+
+    pairs = pd.read_parquet(os.path.join(state, "pairs"))
+    got = {frozenset((a, b)) for a, b in zip(pairs.url_a, pairs.url_b)}
+    assert frozenset(("u20", "u21")) in got
+    # fresh-batch rows enter the store even when older than the
+    # advanced horizon (they expire lazily at the next touch of their
+    # partition) — only STORED members are evicted eagerly
+    store = pd.read_parquet(os.path.join(state, "band_store"))
+    assert {"u20", "u21"} <= set(store["url"])
+
+
+def test_replay_after_checkpoint_loss_is_idempotent(spark, cfg, tmp_path):
+    """foreachBatch is at-least-once: replaying the whole input (e.g.
+    lost checkpoint) must not duplicate rows in the durable stores —
+    the bid-partitioned dynamic overwrite rewrites each batch's own
+    partitions.  Regression: blind append doubled pairs and sigs."""
+    import shutil as _sh
+
+    in_dir = str(tmp_path / "in_replay")
+    state = str(tmp_path / "state_replay")
+    os.makedirs(in_dir)
+    day = lambda d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)  # noqa: E731
+    _write_pages(os.path.join(in_dir, "b1.parquet"), [("u00", day(1))])
+    _write_pages(os.path.join(in_dir, "b2.parquet"), [("u01", day(2))])
+    run_incremental_dedup(spark, in_dir, state, cfg)
+    first = pd.read_parquet(os.path.join(state, "pairs"))[
+        ["url_a", "url_b"]
+    ].sort_values(["url_a", "url_b"]).reset_index(drop=True)
+
+    _sh.rmtree(os.path.join(state, "_checkpoint"))
+    run_incremental_dedup(spark, in_dir, state, cfg)
+    second = pd.read_parquet(os.path.join(state, "pairs"))[
+        ["url_a", "url_b"]
+    ].sort_values(["url_a", "url_b"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(first, second)
+    assert len(second) == len(second.drop_duplicates())
+    sigs = pd.read_parquet(os.path.join(state, "signatures"))
+    assert sigs.groupby(["url", "bid"]).size().max() == 1
+
+
+def test_recrawl_emits_no_self_pair_and_no_fanout(spark, cfg, tmp_path):
+    """A url re-crawled in a later batch exists in both the batch and
+    the stores: the bucket then holds the url twice and the signature
+    table twice.  Pair generation must not emit the degenerate (X, X)
+    pair, and verification must use one (the newest) signature per url
+    so each pair appears once."""
+    in_dir = str(tmp_path / "in_recrawl")
+    state = str(tmp_path / "state_recrawl")
+    os.makedirs(in_dir)
+    day = lambda d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)  # noqa: E731
+    _write_pages(os.path.join(in_dir, "b1.parquet"), [("u00", day(1))])
+    # batch 2: u00 re-crawled (identical text, newer ts) + u01 duplicate
+    _write_pages(
+        os.path.join(in_dir, "b2.parquet"),
+        [("u00", day(2)), ("u01", day(2))],
+    )
+    run_incremental_dedup(spark, in_dir, state, cfg)
+    pairs = pd.read_parquet(os.path.join(state, "pairs"))
+    assert not (pairs["url_a"] == pairs["url_b"]).any(), "self-pair emitted"
+    u = pairs[["url_a", "url_b"]].apply(frozenset, axis=1)
+    assert (u == frozenset(("u00", "u01"))).sum() == 1, "pair fanned out"
+
+
+def test_exact_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: a duplicate arriving
+    AFTER the watermark passed the first copy's horizon is NOT dropped
+    (state was evicted — destor's bounded-cache miss), while
+    duplicates inside the window are.  Plain dropDuplicates kept every
+    hash forever (unbounded state), contradicting this contract."""
+    from destor_spark.streaming.dedup_stream import stream_exact_dedup
+
+    in_dir = str(tmp_path / "in_bounded")
+    os.makedirs(in_dir)
+    day = lambda d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)  # noqa: E731
+    dup = "the recurring page body " * 30
+    other = "a completely different filler page " * 30
+    other2 = "yet another unrelated page body " * 30
+    # Spark evicts dedup state at batch END with the batch's governing
+    # watermark, so TWO filler batches are needed: f2's max advances
+    # the watermark past uA's expiry (day 0 + 10), f3's commit then
+    # performs the eviction, and uC arrives to an empty state in f4.
+    files = [
+        ("f1.parquet", [("uA", day(0), dup)]),
+        ("f2.parquet", [("uF", day(25), other)]),  # advances watermark
+        ("f3.parquet", [("uG", day(26), other2)]),  # eviction batch
+        ("f4.parquet", [("uC", day(30), dup)]),  # same sha, state gone
+    ]
+    for i, (name, rows) in enumerate(files):
+        p = os.path.join(in_dir, name)
+        _write_pages(p, rows)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    out = stream_exact_dedup(
+        spark, in_dir, watermark="10 days", files_per_trigger=1
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bounded_out")
+        .option("checkpointLocation", str(tmp_path / "ck_bounded"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select url from bounded_out").toPandas()
+    assert set(got["url"]) == {"uA", "uF", "uG", "uC"}, got
