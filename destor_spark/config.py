@@ -62,6 +62,15 @@ class DedupConfig:
                 f"bands*rows ({self.bands}*{self.rows}) != num_hashes "
                 f"({self.num_hashes})"
             )
+        if self.bucket_hard_cap < self.bucket_cap:
+            # _strategy() tests `size <= bucket_cap` first; an inverted
+            # pair would label (and ALL-PAIR!) hard-cap-sized buckets
+            # as all_pairs and never flag star_hot — exactly the
+            # blow-up the caps exist to prevent
+            raise ValueError(
+                f"bucket_hard_cap ({self.bucket_hard_cap}) must be >= "
+                f"bucket_cap ({self.bucket_cap})"
+            )
         if self.simhash_radius >= self.simhash_blocks:
             raise ValueError("pigeonhole needs radius < blocks")
         if self.simhash_combo_blocks:

@@ -89,11 +89,6 @@ def with_signatures(df: DataFrame, cfg: DedupConfig,
 # fused text -> signature stage (mapInArrow, zero per-token objects)
 # ---------------------------------------------------------------------------
 
-# the fused stage emits the SAME signature columns as the pandas-UDF
-# path above — one constant, so the two stages cannot silently diverge
-_SIG_FIELDS = SIG_SCHEMA
-
-
 def _sig_batch_arrays(
     texts, cfg: DedupConfig, a: np.ndarray, b: np.ndarray
 ):
@@ -173,9 +168,12 @@ def with_signatures_from_text(
     a, b = H.minhash_params(cfg.num_hashes, cfg.seed)
     keep = [f for f in df.schema.fields if f.name != text_col]
     keep_names = [f.name for f in keep]
+    # appending SIG_SCHEMA itself: the fused stage emits the SAME
+    # signature columns as the pandas-UDF path above, so the two
+    # stages cannot silently diverge
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in keep
-    ) + (", " if keep else "") + _SIG_FIELDS
+    ) + (", " if keep else "") + SIG_SCHEMA
 
     def gen(batches):
         for rb in batches:

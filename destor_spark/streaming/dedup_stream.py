@@ -73,6 +73,45 @@ def stream_exact_dedup(
     ).dropDuplicatesWithinWatermark(["content_sha"])
 
 
+def _check_store_layout(state_dir: str) -> None:
+    """Refuse to resume a state_dir written by the pre-bid-partitioned
+    layout (flat pairs/part-*.parquet, signatures/ub=*/part-* with no
+    bid= level).  Writing the current layout next to old-layout files
+    would leave a mix that crashes partition discovery on the NEXT
+    batch ("Conflicting directory structures") — failing up front with
+    a named remedy beats a delayed, cryptic read error."""
+    pair_store = os.path.join(state_dir, "pairs")
+    sig_store = os.path.join(state_dir, "signatures")
+    legacy = []
+    if os.path.isdir(pair_store) and any(
+        f.startswith("part-") for f in os.listdir(pair_store)
+    ):
+        legacy.append("pairs/ holds flat part-files (no bid= level)")
+    if os.path.isdir(sig_store):
+        for ub in os.listdir(sig_store):
+            sub = os.path.join(sig_store, ub)
+            if (
+                ub.startswith("ub=")
+                and os.path.isdir(sub)
+                and any(f.startswith("part-") for f in os.listdir(sub))
+            ):
+                legacy.append(
+                    f"signatures/{ub}/ holds leaf part-files (no bid= "
+                    "level)"
+                )
+                break
+    if legacy:
+        raise RuntimeError(
+            "state_dir uses the legacy pre-bid store layout ("
+            + "; ".join(legacy)
+            + ").  The at-least-once layout partitions pairs by bid "
+            "and signatures by (ub, bid); mixing layouts corrupts "
+            "partition discovery.  Rebuild the store (delete "
+            f"{state_dir} and replay the input), or migrate by "
+            "rewriting each store with its bid column as a partition."
+        )
+
+
 def run_incremental_dedup(
     spark: SparkSession,
     in_dir: str,
@@ -82,6 +121,7 @@ def run_incremental_dedup(
     n_key_buckets: int = 64,
     n_url_buckets: int = 64,
     max_event_age: str | None = None,
+    files_per_trigger: int = 4,
 ) -> None:
     """foreachBatch incremental LSH dedup with a BOUNDED, PRUNED store.
 
@@ -132,13 +172,18 @@ def run_incremental_dedup(
         generate no pairs (a too-late document is not deduplicated —
         destor's bounded fingerprint cache has the identical miss
         semantics for evicted entries);
+      * STATE VISIBILITY, against the same LAGGING watermark: the
+        stored members a batch's pair generation can match are those
+        inside the horizon that GOVERNS the batch (Spark cleans state
+        at batch end, so batch N's join sees everything batch N-1's
+        cleanup kept);
       * STATE EVICTION, against the ADVANCED watermark (Spark evicts
-        at batch end with the value that governs the next batch): on
-        every touched-partition rewrite, stored members with
-        warc_ts < watermark - age are dropped, so bucket state is
-        bounded by the event-time window as well as by the FIFO k.
-        Untouched partitions evict lazily at their next touch (their
-        bytes are already bounded by the FIFO rule).
+        at batch END with the value that will govern the next batch):
+        the touched-partition rewrite keeps only members — stored and
+        fresh alike — with warc_ts >= watermark - age, so bucket state
+        is bounded by the event-time window as well as by the FIFO k.
+        Untouched partitions evict lazily at their next touch; the
+        visibility filter keeps their expired members inert meanwhile.
     None (default) disables event-time retention (FIFO only).
     """
     from destor_spark.plans.pipeline import _materialize, _mat_root
@@ -150,9 +195,11 @@ def run_incremental_dedup(
     wm_path = os.path.join(state_dir, "watermark.json")
     age = pd.Timedelta(max_event_age) if max_event_age else None
 
+    _check_store_layout(state_dir)
+
     src = (
         spark.readStream.schema(WEB_PAGES_DDL)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(in_dir)
     )
 
@@ -185,25 +232,58 @@ def run_incremental_dedup(
             prev = None
             if os.path.exists(wm_path):
                 with open(wm_path) as f:
-                    prev = pd.Timestamp(json.load(f)["watermark"])
+                    st = json.load(f)
+                if st.get("bid") == batch_id:
+                    # At-least-once REPLAY of this very batch: the
+                    # original attempt already advanced the watermark
+                    # before crashing.  Reading the advanced value back
+                    # as `prev` would derive the drop horizon from the
+                    # batch's OWN max — resurrecting exactly the
+                    # own-max late-drop bug, but only on retry, and
+                    # silently losing rows the first attempt kept.  The
+                    # record therefore carries the prev that governed
+                    # the original attempt; a replay re-reads it and
+                    # recomputes identical horizons (and an identical
+                    # record, so the rewrite below is idempotent too).
+                    prev = (
+                        pd.Timestamp(st["prev"])
+                        if st.get("prev") is not None
+                        else None
+                    )
+                else:
+                    prev = pd.Timestamp(st["watermark"])
             row = sigs.agg(F.max("warc_ts").alias("m")).first()
             batch_max = pd.Timestamp(row["m"]) if row["m"] else None
             wm = max(p for p in (prev, batch_max) if p is not None) \
                 if (prev is not None or batch_max is not None) else None
             # Spark watermark semantics, split in two: the LATE-DATA
-            # DROP uses the PREVIOUS batches' watermark (Spark's
-            # watermark lags one batch precisely so that rows arriving
-            # in the same batch as the new high-point are never dropped
-            # by their own batch's max), while STATE EVICTION uses the
-            # ADVANCED watermark (Spark evicts at batch end with the
-            # value that will govern the next batch).  Using the
-            # advanced value for both silently lost on-time rows that
-            # shared a batch with a much newer document.
+            # DROP and the state VISIBLE to this batch's join use the
+            # PREVIOUS batches' watermark (Spark's watermark lags one
+            # batch precisely so that rows arriving in the same batch
+            # as the new high-point are never dropped by their own
+            # batch's max), while STATE EVICTION at the store rewrite
+            # uses the ADVANCED watermark (Spark cleans state at batch
+            # END with the value that will govern the next batch).
+            # Using the advanced value for both silently lost on-time
+            # rows that shared a batch with a much newer document.
             if prev is not None:
                 drop_horizon = prev - age
             if wm is not None:
-                with open(wm_path, "w") as f:
-                    json.dump({"watermark": wm.isoformat()}, f)
+                tmp = wm_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {
+                            "watermark": wm.isoformat(),
+                            "bid": batch_id,
+                            "prev": (
+                                prev.isoformat()
+                                if prev is not None
+                                else None
+                            ),
+                        },
+                        f,
+                    )
+                os.replace(tmp, wm_path)
                 evict_horizon = wm - age
         new_bands = lsh_op.explode_bands(sigs).select(
             "url",
@@ -228,20 +308,21 @@ def run_incremental_dedup(
             old = spark.read.parquet(band_store).filter(
                 F.col("kb").isin(touched_kbs)
             )
-            if evict_horizon is not None:
-                # event-time eviction of STORED members on the
-                # partitions being rewritten.  Only the old side: the
-                # current batch's own rows must participate in their
-                # own batch (they already passed the lagging late-data
-                # bar above) — evicting them here with the watermark
-                # their own batch just advanced would silently suppress
-                # on-time rows, the same defect as deriving the drop
-                # horizon from the batch's own max.  They enter the
-                # store and expire at a later touch (lazy, like
-                # untouched partitions).
+            if drop_horizon is not None:
+                # State VISIBLE to this batch's pair generation is
+                # governed by the LAGGING watermark — the value that
+                # was in force when this batch started (Spark cleans
+                # state at batch END, so batch N's join still sees
+                # everything batch N-1's cleanup kept).  Filtering the
+                # old side with the ADVANCED horizon here suppressed
+                # real pairs: a stored member still inside the
+                # governing window never matched a fresh duplicate
+                # that happened to share its batch with a much newer
+                # document.  The advanced horizon applies at the store
+                # rewrite below, exactly where Spark applies it.
                 old = old.filter(
                     F.col("warc_ts")
-                    >= F.lit(evict_horizon.isoformat()).cast("timestamp")
+                    >= F.lit(drop_horizon.isoformat()).cast("timestamp")
                 )
             merged = old.select(*band_cols, "kb").unionByName(new_bands)
         else:
@@ -266,12 +347,27 @@ def run_incremental_dedup(
             f"b{batch_id}_retained",
             root,
         )
-        if retained.head(1):
+        store_rows = retained
+        if evict_horizon is not None:
+            # STATE EVICTION at batch end, with the ADVANCED watermark
+            # (the value that governs the next batch) — Spark's exact
+            # cleanup point and value for dropDuplicatesWithinWatermark
+            # state.  Applies to old AND fresh rows: a fresh row whose
+            # event time is already below the advanced horizon has
+            # participated in its own batch above and simply leaves no
+            # state behind.  Untouched partitions evict lazily at
+            # their next touch (the visibility filter on `old` makes
+            # their expired members invisible in the meantime).
+            store_rows = retained.filter(
+                F.col("warc_ts")
+                >= F.lit(evict_horizon.isoformat()).cast("timestamp")
+            )
+        if store_rows.head(1):
             # an all-dropped batch (every row beyond the horizon) must
             # not create an empty-store dir; dynamic overwrite with an
             # empty frame rewrites nothing anyway
             (
-                retained.write.mode("overwrite")
+                store_rows.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("kb")
                 .parquet(band_store)

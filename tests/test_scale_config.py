@@ -48,3 +48,15 @@ def test_resolve_master_order(monkeypatch):
     # bare python, nothing set: local[*]
     monkeypatch.delenv("SPARK_GRAFT_MASTER")
     assert S.resolve_master(None) == "local[*]"
+
+
+def test_inverted_bucket_caps_rejected():
+    """bucket_hard_cap < bucket_cap would label (and ALL-PAIR) buckets
+    above the hard cap as all_pairs — the exact blow-up the caps exist
+    to prevent — and leave the star_hot inventory silently empty."""
+    import pytest
+
+    from destor_spark.config import DedupConfig
+
+    with pytest.raises(ValueError, match="bucket_hard_cap"):
+        DedupConfig(bucket_cap=200_000, bucket_hard_cap=100_000)

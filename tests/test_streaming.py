@@ -114,18 +114,25 @@ def test_event_time_retention_bounds_store(spark, cfg, tmp_path):
         frozenset(("u00", "u01"))
     }
 
-    # batch 2: u02 fresh (day 20), u03 too late (day 3 < new horizon 15)
+    # batch 2: u02 fresh (day 20), u03 too late (day 3 < the GOVERNING
+    # horizon 10 - 5 = day 5, the one that lags a batch)
     _write("b2.parquet", [("u02", day(20)), ("u03", day(3))])
     run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
 
     store = pd.read_parquet(os.path.join(state, "band_store"))
-    # late doc never entered; u00/u01 evicted from the touched buckets
+    # late doc never entered; u00/u01 evicted at batch END by the
+    # ADVANCED horizon (20 - 5 = day 15)
     assert set(store["url"]) == {"u02"}
     pairs = pd.read_parquet(os.path.join(state, "pairs"))
     urls_in_pairs = set(pairs.url_a) | set(pairs.url_b)
     assert "u03" not in urls_in_pairs
+    # u00/u01 were still VISIBLE to batch 2's join (the governing
+    # horizon is the lagging day 5, and Spark cleans state at batch
+    # end, not before the join) — so fresh u02 matches both
     assert {frozenset((a, b)) for a, b in zip(pairs.url_a, pairs.url_b)} == {
-        frozenset(("u00", "u01"))
+        frozenset(("u00", "u01")),
+        frozenset(("u00", "u02")),
+        frozenset(("u01", "u02")),
     }
     # the watermark is persisted monotonically
     import json
@@ -294,11 +301,12 @@ def test_same_batch_late_arrival_not_dropped(spark, cfg, tmp_path):
     pairs = pd.read_parquet(os.path.join(state, "pairs"))
     got = {frozenset((a, b)) for a, b in zip(pairs.url_a, pairs.url_b)}
     assert frozenset(("u20", "u21")) in got
-    # fresh-batch rows enter the store even when older than the
-    # advanced horizon (they expire lazily at the next touch of their
-    # partition) — only STORED members are evicted eagerly
+    # STATE EVICTION is Spark's batch-END cleanup with the ADVANCED
+    # watermark (day 30 - 5 = day 25): u21 (day 22) participated in
+    # its own batch above, then leaves no state behind; u20 stays
     store = pd.read_parquet(os.path.join(state, "band_store"))
-    assert {"u20", "u21"} <= set(store["url"])
+    assert "u20" in set(store["url"])
+    assert "u21" not in set(store["url"])
 
 
 def test_replay_after_checkpoint_loss_is_idempotent(spark, cfg, tmp_path):
@@ -347,11 +355,90 @@ def test_recrawl_emits_no_self_pair_and_no_fanout(spark, cfg, tmp_path):
         os.path.join(in_dir, "b2.parquet"),
         [("u00", day(2)), ("u01", day(2))],
     )
-    run_incremental_dedup(spark, in_dir, state, cfg)
+    # files_per_trigger=1 forces the two files into SEPARATE
+    # micro-batches, so the re-crawl actually hits the STORED copy
+    # (one merged batch would only exercise the in-batch guard)
+    run_incremental_dedup(spark, in_dir, state, cfg, files_per_trigger=1)
     pairs = pd.read_parquet(os.path.join(state, "pairs"))
     assert not (pairs["url_a"] == pairs["url_b"]).any(), "self-pair emitted"
     u = pairs[["url_a", "url_b"]].apply(frozenset, axis=1)
     assert (u == frozenset(("u00", "u01"))).sum() == 1, "pair fanned out"
+
+
+def test_watermark_replay_uses_original_prev(spark, cfg, tmp_path):
+    """At-least-once replay contract for the event-time watermark: the
+    persisted record is keyed by batch id and carries the prev value
+    that governed the original attempt, so a batch replayed AFTER its
+    first attempt advanced the watermark (crash between the watermark
+    write and the durable outputs) re-derives the SAME horizons.
+    Regression: reading the advanced value back as `prev` turned the
+    lagging drop horizon into the batch's own max on retry — on-time
+    rows the first attempt kept were silently lost."""
+    import json
+
+    in_dir = str(tmp_path / "in_wmreplay")
+    state = str(tmp_path / "state_wmreplay")
+    os.makedirs(in_dir)
+    day = lambda d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)  # noqa: E731
+    shared = "the body both copies share " * 20
+
+    _write_pages(
+        os.path.join(in_dir, "b1.parquet"), [("uA", day(10), shared)]
+    )
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+
+    # Simulate the crashed first attempt of batch 1: it advanced the
+    # watermark record to day 30 (bid-keyed, carrying the governing
+    # prev = day 10) and died before writing any durable output.
+    with open(os.path.join(state, "watermark.json"), "w") as f:
+        json.dump(
+            {
+                "watermark": day(30).isoformat(),
+                "bid": 1,
+                "prev": day(10).isoformat(),
+            },
+            f,
+        )
+    # The "replay" of batch 1: uB sets the max the crashed attempt saw;
+    # uC (day 22) is on time vs the GOVERNING horizon (10 - 5 = day 5)
+    # and duplicates uA.  Deriving prev from the advanced record would
+    # put the drop bar at day 25 and lose both uC and the (uA, uC) pair.
+    _write_pages(
+        os.path.join(in_dir, "b2.parquet"),
+        [("uB", day(30), "a totally unrelated body " * 20),
+         ("uC", day(22), shared)],
+    )
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+
+    pairs = pd.read_parquet(os.path.join(state, "pairs"))
+    got = {frozenset((a, b)) for a, b in zip(pairs.url_a, pairs.url_b)}
+    assert frozenset(("uA", "uC")) in got
+    with open(os.path.join(state, "watermark.json")) as f:
+        st = json.load(f)
+    assert pd.Timestamp(st["watermark"]) == day(30)
+    assert st["bid"] == 1
+    assert pd.Timestamp(st["prev"]) == day(10)
+
+
+def test_legacy_flat_store_layout_refused(spark, cfg, tmp_path):
+    """A state_dir written by the pre-bid layout (flat pairs part
+    files) must be refused up front with a migration message, not
+    corrupted by writing bid= partitions next to flat files."""
+    import pytest
+
+    in_dir = str(tmp_path / "in_legacy")
+    state = str(tmp_path / "state_legacy")
+    os.makedirs(in_dir)
+    os.makedirs(os.path.join(state, "pairs"))
+    pd.DataFrame({"url_a": ["x"], "url_b": ["y"], "est": [1.0]}).to_parquet(
+        os.path.join(state, "pairs", "part-00000.parquet"), index=False
+    )
+    _write_pages(
+        os.path.join(in_dir, "b1.parquet"),
+        [("u00", pd.Timestamp("2024-01-01"))],
+    )
+    with pytest.raises(RuntimeError, match="legacy pre-bid store layout"):
+        run_incremental_dedup(spark, in_dir, state, cfg)
 
 
 def test_exact_dedup_state_bounded_by_watermark(spark, tmp_path):
