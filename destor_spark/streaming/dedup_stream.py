@@ -88,6 +88,11 @@ def _check_store_layout(state_dir: str) -> None:
     ):
         legacy.append("pairs/ holds flat part-files (no bid= level)")
     if os.path.isdir(sig_store):
+        if any(f.startswith("part-") for f in os.listdir(sig_store)):
+            # the oldest layout: flat append, no ub= level at all
+            legacy.append(
+                "signatures/ holds flat part-files (no ub=/bid= levels)"
+            )
         for ub in os.listdir(sig_store):
             sub = os.path.join(sig_store, ub)
             if (
@@ -177,13 +182,15 @@ def run_incremental_dedup(
         inside the horizon that GOVERNS the batch (Spark cleans state
         at batch end, so batch N's join sees everything batch N-1's
         cleanup kept);
-      * STATE EVICTION, against the ADVANCED watermark (Spark evicts
-        at batch END with the value that will govern the next batch):
-        the touched-partition rewrite keeps only members — stored and
-        fresh alike — with warc_ts >= watermark - age, so bucket state
-        is bounded by the event-time window as well as by the FIFO k.
-        Untouched partitions evict lazily at their next touch; the
-        visibility filter keeps their expired members inert meanwhile.
+      * STATE EVICTION, LAZY at the next touch: the visibility filter
+        doubles as the physical drop — a partition's event-expired
+        members leave the files at its next rewrite, exactly one
+        horizon step after Spark's batch-end cleanup would have
+        removed them.  Deferring the drop past the batch keeps
+        at-least-once replay exact (a replayed batch joins against
+        its pre-batch state, the file-store analogue of Spark's
+        versioned state store restoring version N-1), while bucket
+        bytes stay bounded by the FIFO k plus one batch's width.
     None (default) disables event-time retention (FIFO only).
     """
     from destor_spark.plans.pipeline import _materialize, _mat_root
@@ -227,13 +234,29 @@ def run_incremental_dedup(
             # crash the next batch's read (UNABLE_TO_INFER_SCHEMA)
             return
         drop_horizon = None
-        evict_horizon = None
         if age is not None:
             prev = None
+            st = None
             if os.path.exists(wm_path):
                 with open(wm_path) as f:
                     st = json.load(f)
-                if st.get("bid") == batch_id:
+            row = sigs.agg(F.max("warc_ts").alias("m")).first()
+            batch_max = pd.Timestamp(row["m"]) if row["m"] else None
+            if st is not None:
+                recorded = pd.Timestamp(st["watermark"])
+                rec_prev = (
+                    pd.Timestamp(st["prev"])
+                    if st.get("prev") is not None
+                    else None
+                )
+                is_replay = (
+                    st.get("bid") == batch_id
+                    and batch_max is not None
+                    and max(
+                        p for p in (rec_prev, batch_max) if p is not None
+                    ) == recorded
+                )
+                if is_replay:
                     # At-least-once REPLAY of this very batch: the
                     # original attempt already advanced the watermark
                     # before crashing.  Reading the advanced value back
@@ -245,26 +268,23 @@ def run_incremental_dedup(
                     # the original attempt; a replay re-reads it and
                     # recomputes identical horizons (and an identical
                     # record, so the rewrite below is idempotent too).
-                    prev = (
-                        pd.Timestamp(st["prev"])
-                        if st.get("prev") is not None
-                        else None
-                    )
+                    # Replay detection requires BOTH the bid match AND
+                    # that this batch's data reproduces the recorded
+                    # watermark — a bid that merely collides (checkpoint
+                    # lost, state kept; or re-grouped triggers) carries
+                    # different data and falls through to the monotonic
+                    # branch instead of being governed by a stale prev.
+                    prev = rec_prev
                 else:
-                    prev = pd.Timestamp(st["watermark"])
-            row = sigs.agg(F.max("warc_ts").alias("m")).first()
-            batch_max = pd.Timestamp(row["m"]) if row["m"] else None
+                    prev = recorded
             wm = max(p for p in (prev, batch_max) if p is not None) \
                 if (prev is not None or batch_max is not None) else None
-            # Spark watermark semantics, split in two: the LATE-DATA
-            # DROP and the state VISIBLE to this batch's join use the
-            # PREVIOUS batches' watermark (Spark's watermark lags one
-            # batch precisely so that rows arriving in the same batch
-            # as the new high-point are never dropped by their own
-            # batch's max), while STATE EVICTION at the store rewrite
-            # uses the ADVANCED watermark (Spark cleans state at batch
-            # END with the value that will govern the next batch).
-            # Using the advanced value for both silently lost on-time
+            # Spark watermark semantics: the LATE-DATA DROP and the
+            # state VISIBLE to this batch's join use the PREVIOUS
+            # batches' watermark (Spark's watermark lags one batch
+            # precisely so that rows arriving in the same batch as the
+            # new high-point are never dropped by their own batch's
+            # max).  Using the advanced value silently lost on-time
             # rows that shared a batch with a much newer document.
             if prev is not None:
                 drop_horizon = prev - age
@@ -284,7 +304,6 @@ def run_incremental_dedup(
                         f,
                     )
                 os.replace(tmp, wm_path)
-                evict_horizon = wm - age
         new_bands = lsh_op.explode_bands(sigs).select(
             "url",
             "warc_ts",
@@ -318,8 +337,11 @@ def run_incremental_dedup(
                 # real pairs: a stored member still inside the
                 # governing window never matched a fresh duplicate
                 # that happened to share its batch with a much newer
-                # document.  The advanced horizon applies at the store
-                # rewrite below, exactly where Spark applies it.
+                # document.  This filter is ALSO the physical eviction
+                # point: members it excludes are left out of the
+                # rewrite below, so event-expired state is dropped at
+                # the partition's next touch (see the rewrite comment
+                # for why eviction must lag a batch).
                 old = old.filter(
                     F.col("warc_ts")
                     >= F.lit(drop_horizon.isoformat()).cast("timestamp")
@@ -347,27 +369,28 @@ def run_incremental_dedup(
             f"b{batch_id}_retained",
             root,
         )
-        store_rows = retained
-        if evict_horizon is not None:
-            # STATE EVICTION at batch end, with the ADVANCED watermark
-            # (the value that governs the next batch) — Spark's exact
-            # cleanup point and value for dropDuplicatesWithinWatermark
-            # state.  Applies to old AND fresh rows: a fresh row whose
-            # event time is already below the advanced horizon has
-            # participated in its own batch above and simply leaves no
-            # state behind.  Untouched partitions evict lazily at
-            # their next touch (the visibility filter on `old` makes
-            # their expired members invisible in the meantime).
-            store_rows = retained.filter(
-                F.col("warc_ts")
-                >= F.lit(evict_horizon.isoformat()).cast("timestamp")
-            )
-        if store_rows.head(1):
+        # STATE EVICTION is deliberately LAZY: batch N's rewrite keeps
+        # every member its join could see (the lag-filtered visible set
+        # trimmed by FIFO) and drops event-expired members only at the
+        # partition's NEXT touch, where the then-lagging horizon —
+        # which equals this batch's advanced horizon — excludes them
+        # from `old`.  Physically evicting with the advanced horizon
+        # here looks equivalent one batch later but breaks
+        # at-least-once REPLAY: an attempt that rewrote the store and
+        # crashed before its pair write would leave the replay joining
+        # against an already-evicted store, silently losing the pairs
+        # the first attempt found.  Deferring the physical drop means
+        # a replayed batch always sees its pre-batch visible state —
+        # the file-store simulation of Spark's VERSIONED state store,
+        # which restores state version N-1 when batch N replays.  The
+        # extra bytes are bounded: one batch's width per touched
+        # partition, on top of the FIFO k.
+        if retained.head(1):
             # an all-dropped batch (every row beyond the horizon) must
             # not create an empty-store dir; dynamic overwrite with an
             # empty frame rewrites nothing anyway
             (
-                store_rows.write.mode("overwrite")
+                retained.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("kb")
                 .parquet(band_store)

@@ -119,10 +119,6 @@ def test_event_time_retention_bounds_store(spark, cfg, tmp_path):
     _write("b2.parquet", [("u02", day(20)), ("u03", day(3))])
     run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
 
-    store = pd.read_parquet(os.path.join(state, "band_store"))
-    # late doc never entered; u00/u01 evicted at batch END by the
-    # ADVANCED horizon (20 - 5 = day 15)
-    assert set(store["url"]) == {"u02"}
     pairs = pd.read_parquet(os.path.join(state, "pairs"))
     urls_in_pairs = set(pairs.url_a) | set(pairs.url_b)
     assert "u03" not in urls_in_pairs
@@ -134,11 +130,27 @@ def test_event_time_retention_bounds_store(spark, cfg, tmp_path):
         frozenset(("u00", "u02")),
         frozenset(("u01", "u02")),
     }
+
+    # batch 3 touches the same bucket: the now-lagging horizon
+    # (20 - 5 = day 15) excludes u00/u01 from the rewrite — event-time
+    # eviction lands one touch late (replay-exactness), and the
+    # expired members generate no further pairs (destor's bounded
+    # fingerprint-cache miss)
+    _write("b3.parquet", [("u04", day(21))])
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+
+    store = pd.read_parquet(os.path.join(state, "band_store"))
+    assert set(store["url"]) == {"u02", "u04"}
+    pairs = pd.read_parquet(os.path.join(state, "pairs"))
+    got = {frozenset((a, b)) for a, b in zip(pairs.url_a, pairs.url_b)}
+    assert frozenset(("u02", "u04")) in got
+    assert frozenset(("u00", "u04")) not in got
+    assert frozenset(("u01", "u04")) not in got
     # the watermark is persisted monotonically
     import json
 
     with open(os.path.join(state, "watermark.json")) as f:
-        assert pd.Timestamp(json.load(f)["watermark"]) == day(20)
+        assert pd.Timestamp(json.load(f)["watermark"]) == day(21)
 
 
 def test_store_scan_is_pruned(spark, cfg, tmp_path):
@@ -301,12 +313,13 @@ def test_same_batch_late_arrival_not_dropped(spark, cfg, tmp_path):
     pairs = pd.read_parquet(os.path.join(state, "pairs"))
     got = {frozenset((a, b)) for a, b in zip(pairs.url_a, pairs.url_b)}
     assert frozenset(("u20", "u21")) in got
-    # STATE EVICTION is Spark's batch-END cleanup with the ADVANCED
-    # watermark (day 30 - 5 = day 25): u21 (day 22) participated in
-    # its own batch above, then leaves no state behind; u20 stays
+    # eviction is LAZY (replay-exactness: a replayed batch must see
+    # its pre-batch state, like Spark's versioned state store): u21
+    # (day 22, below the advanced horizon 25) stays in the files until
+    # the partition's next touch, where the then-lagging horizon
+    # excludes it from the rewrite
     store = pd.read_parquet(os.path.join(state, "band_store"))
-    assert "u20" in set(store["url"])
-    assert "u21" not in set(store["url"])
+    assert {"u20", "u21"} <= set(store["url"])
 
 
 def test_replay_after_checkpoint_loss_is_idempotent(spark, cfg, tmp_path):
@@ -418,6 +431,65 @@ def test_watermark_replay_uses_original_prev(spark, cfg, tmp_path):
     assert pd.Timestamp(st["watermark"]) == day(30)
     assert st["bid"] == 1
     assert pd.Timestamp(st["prev"]) == day(10)
+
+
+def test_replay_of_last_batch_preserves_event_window_pairs(
+    spark, cfg, tmp_path
+):
+    """Replay of the LAST batch (commit log truncated after the state
+    writes landed — the at-least-once crash window) must regenerate
+    identical pairs.  This is why event-time eviction is lazy: an
+    eager advanced-horizon rewrite would have physically dropped the
+    stored member uM during the original attempt, so the replay's
+    join could no longer find (uM, uD) and the bid-partition rewrite
+    would lose it."""
+    import shutil as _sh
+
+    in_dir = str(tmp_path / "in_lastreplay")
+    state = str(tmp_path / "state_lastreplay")
+    os.makedirs(in_dir)
+    day = lambda d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)  # noqa: E731
+    t1 = "the first shared body text " * 20
+    t2 = "the second shared body text " * 20
+
+    _write_pages(os.path.join(in_dir, "b1.parquet"), [("uM", day(20), t1)])
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+    # batch 2: uD duplicates stored uM (day 22 — inside the governing
+    # lag horizon 15, below the advanced horizon 25); uN/uE share t2
+    # so the replay's verified set is non-empty and the bid partition
+    # IS rewritten (an empty replay would mask the loss)
+    _write_pages(
+        os.path.join(in_dir, "b2.parquet"),
+        [("uD", day(22), t1), ("uN", day(30), t2), ("uE", day(26), t2)],
+    )
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+
+    def _pairset():
+        p = pd.read_parquet(os.path.join(state, "pairs"))
+        return {frozenset((a, b)) for a, b in zip(p.url_a, p.url_b)}
+
+    before = _pairset()
+    assert frozenset(("uM", "uD")) in before
+    assert frozenset(("uN", "uE")) in before
+
+    # truncate the commit log: Spark replays the last micro-batch
+    # against the post-batch store on restart
+    commits = os.path.join(state, "_checkpoint", "commits")
+    last = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+    os.remove(os.path.join(commits, last))
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _sh.rmtree(
+        os.path.join(state, "_checkpoint", "__tmp_path_dir"),
+        ignore_errors=True,
+    )
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+
+    after = _pairset()
+    assert after == before
+    p = pd.read_parquet(os.path.join(state, "pairs"))
+    assert len(p) == len(p.drop_duplicates(["url_a", "url_b"]))
 
 
 def test_legacy_flat_store_layout_refused(spark, cfg, tmp_path):
