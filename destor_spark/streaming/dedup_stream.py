@@ -240,23 +240,28 @@ def run_incremental_dedup(
             if os.path.exists(wm_path):
                 with open(wm_path) as f:
                     st = json.load(f)
-            row = sigs.agg(F.max("warc_ts").alias("m")).first()
+            row = sigs.agg(
+                F.max("warc_ts").alias("m"),
+                # content fingerprint for replay detection: row count,
+                # min event time, and an order-insensitive url-hash
+                # xor — one pass with the max aggregate
+                F.count(F.lit(1)).alias("n"),
+                F.min("warc_ts").alias("lo"),
+                F.expr("bit_xor(xxhash64(url))").alias("uh"),
+            ).first()
             batch_max = pd.Timestamp(row["m"]) if row["m"] else None
+            batch_fp = [
+                int(row["n"]),
+                str(row["lo"]),
+                int(row["uh"]) if row["uh"] is not None else 0,
+            ]
             if st is not None:
-                recorded = pd.Timestamp(st["watermark"])
                 rec_prev = (
                     pd.Timestamp(st["prev"])
                     if st.get("prev") is not None
                     else None
                 )
-                is_replay = (
-                    st.get("bid") == batch_id
-                    and batch_max is not None
-                    and max(
-                        p for p in (rec_prev, batch_max) if p is not None
-                    ) == recorded
-                )
-                if is_replay:
+                if st.get("bid") == batch_id and st.get("fp") == batch_fp:
                     # At-least-once REPLAY of this very batch: the
                     # original attempt already advanced the watermark
                     # before crashing.  Reading the advanced value back
@@ -268,15 +273,17 @@ def run_incremental_dedup(
                     # the original attempt; a replay re-reads it and
                     # recomputes identical horizons (and an identical
                     # record, so the rewrite below is idempotent too).
-                    # Replay detection requires BOTH the bid match AND
-                    # that this batch's data reproduces the recorded
-                    # watermark — a bid that merely collides (checkpoint
-                    # lost, state kept; or re-grouped triggers) carries
-                    # different data and falls through to the monotonic
-                    # branch instead of being governed by a stale prev.
+                    # Replay detection requires the bid match AND a
+                    # batch-content fingerprint match (count, min
+                    # event time, url-hash sum): a bid that merely
+                    # collides (checkpoint lost, state kept; or
+                    # re-grouped triggers) — even one that happens to
+                    # contain the recorded-watermark document — falls
+                    # through to the monotonic branch instead of being
+                    # governed by a stale prev.
                     prev = rec_prev
                 else:
-                    prev = recorded
+                    prev = pd.Timestamp(st["watermark"])
             wm = max(p for p in (prev, batch_max) if p is not None) \
                 if (prev is not None or batch_max is not None) else None
             # Spark watermark semantics: the LATE-DATA DROP and the
@@ -295,6 +302,7 @@ def run_incremental_dedup(
                         {
                             "watermark": wm.isoformat(),
                             "bid": batch_id,
+                            "fp": batch_fp,
                             "prev": (
                                 prev.isoformat()
                                 if prev is not None

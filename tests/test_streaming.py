@@ -85,10 +85,12 @@ def test_fifo_retention_bounds_store(spark, cfg, tmp_path):
 
 
 def test_event_time_retention_bounds_store(spark, cfg, tmp_path):
-    """max_event_age: a doc arriving later than watermark - age is
-    DROPPED (never deduplicated — documented late-data policy), and
-    stored members older than the horizon are EVICTED on rewrite, so
-    LSH state is bounded by the event-time window too."""
+    """max_event_age: a doc arriving later than the GOVERNING (lagging)
+    horizon is DROPPED (never deduplicated — documented late-data
+    policy); stored members stay visible through the batch their
+    governing horizon covers and are physically EVICTED at the
+    partition's NEXT touch (lazy, replay-exact), so LSH state is
+    bounded by the event-time window too — one horizon step late."""
     in_dir = str(tmp_path / "in_evt")
     state = str(tmp_path / "state_evt")
     os.makedirs(in_dir)
@@ -402,12 +404,33 @@ def test_watermark_replay_uses_original_prev(spark, cfg, tmp_path):
 
     # Simulate the crashed first attempt of batch 1: it advanced the
     # watermark record to day 30 (bid-keyed, carrying the governing
-    # prev = day 10) and died before writing any durable output.
+    # prev = day 10 AND the batch-content fingerprint) and died before
+    # writing any durable output.  The fingerprint is computed exactly
+    # as production computes it, over the rows batch 1 will contain.
+    from pyspark.sql import functions as F
+
+    fp_row = (
+        spark.createDataFrame(
+            [
+                ("uB", day(30).to_pydatetime()),
+                ("uC", day(22).to_pydatetime()),
+            ],
+            "url string, warc_ts timestamp",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("warc_ts").alias("lo"),
+            F.expr("bit_xor(xxhash64(url))").alias("uh"),
+        )
+        .first()
+    )
+    batch_fp = [int(fp_row["n"]), str(fp_row["lo"]), int(fp_row["uh"])]
     with open(os.path.join(state, "watermark.json"), "w") as f:
         json.dump(
             {
                 "watermark": day(30).isoformat(),
                 "bid": 1,
+                "fp": batch_fp,
                 "prev": day(10).isoformat(),
             },
             f,
@@ -431,6 +454,63 @@ def test_watermark_replay_uses_original_prev(spark, cfg, tmp_path):
     assert pd.Timestamp(st["watermark"]) == day(30)
     assert st["bid"] == 1
     assert pd.Timestamp(st["prev"]) == day(10)
+
+
+def test_watermark_bid_collision_is_not_a_replay(spark, cfg, tmp_path):
+    """The replay branch requires the batch-content fingerprint to
+    match, not just the bid: a bid that merely collides (checkpoint
+    lost, state kept — batch ids restart) with DIFFERENT data must be
+    governed by the persisted watermark (monotonic branch), so its
+    late rows are dropped rather than admitted under a stale prev."""
+    import json
+
+    in_dir = str(tmp_path / "in_wmcollide")
+    state = str(tmp_path / "state_wmcollide")
+    os.makedirs(in_dir)
+    day = lambda d: pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)  # noqa: E731
+    shared = "the body both copies share " * 20
+
+    _write_pages(
+        os.path.join(in_dir, "b1.parquet"), [("uA", day(10), shared)]
+    )
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+
+    # a record whose bid will collide with the next batch (bid 1) but
+    # whose fingerprint belongs to some OTHER batch's content
+    with open(os.path.join(state, "watermark.json"), "w") as f:
+        json.dump(
+            {
+                "watermark": day(30).isoformat(),
+                "bid": 1,
+                "fp": [7, "1999-01-01 00:00:00", 12345],
+                "prev": day(10).isoformat(),
+            },
+            f,
+        )
+    # uC (day 22) is late vs the PERSISTED watermark's horizon
+    # (30 - 5 = day 25); under the stale prev (day 10) it would have
+    # been admitted and paired with uA
+    _write_pages(
+        os.path.join(in_dir, "b2.parquet"),
+        [("uB", day(31), "a totally unrelated body " * 20),
+         ("uC", day(22), shared)],
+    )
+    run_incremental_dedup(spark, in_dir, state, cfg, max_event_age="5 days")
+
+    # uC was dropped as late: no (uA, uC) pair (with no duplicates at
+    # all, the pairs store is never even created) and no band-store
+    # entry for uC
+    pairs_dir = os.path.join(state, "pairs")
+    if os.path.isdir(pairs_dir):
+        pairs = pd.read_parquet(pairs_dir)
+        got = {frozenset((a, b)) for a, b in zip(pairs.url_a, pairs.url_b)}
+        assert frozenset(("uA", "uC")) not in got
+    store = pd.read_parquet(os.path.join(state, "band_store"))
+    assert "uC" not in set(store["url"])
+    with open(os.path.join(state, "watermark.json")) as f:
+        st = json.load(f)
+    # monotonic: advanced to the new max, never regressed
+    assert pd.Timestamp(st["watermark"]) == day(31)
 
 
 def test_replay_of_last_batch_preserves_event_window_pairs(
@@ -511,6 +591,17 @@ def test_legacy_flat_store_layout_refused(spark, cfg, tmp_path):
     )
     with pytest.raises(RuntimeError, match="legacy pre-bid store layout"):
         run_incremental_dedup(spark, in_dir, state, cfg)
+
+    # the OLDEST layout: flat append directly in signatures/ (no ub=
+    # level at all) must be refused too
+    state2 = str(tmp_path / "state_legacy2")
+    os.makedirs(os.path.join(state2, "signatures"))
+    pd.DataFrame({"url": ["x"], "sig": [[1, 2]]}).to_parquet(
+        os.path.join(state2, "signatures", "part-00000.parquet"),
+        index=False,
+    )
+    with pytest.raises(RuntimeError, match="legacy pre-bid store layout"):
+        run_incremental_dedup(spark, in_dir, state2, cfg)
 
 
 def test_exact_dedup_state_bounded_by_watermark(spark, tmp_path):
