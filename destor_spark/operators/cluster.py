@@ -140,6 +140,13 @@ def connected_components(
     rounds collapse into one union-find task (_union_find_finish) —
     the fixpoint tail is fixed-cost-dominated at every parallelism.
     """
+    if max_rounds < 1:
+        # the non-convergence guard's star-forest SHAPE check is only
+        # sufficient after >= 1 star round has oriented every edge
+        # downward (v < u); raw input passed straight through could be
+        # shaped like a forest yet rooted at a non-minimum node,
+        # silently violating the cluster_id contract
+        raise ValueError("max_rounds must be >= 1")
     edges = pairs.select(
         F.col("url_a").alias("u"), F.col("url_b").alias("v")
     ).filter(F.col("u") != F.col("v"))

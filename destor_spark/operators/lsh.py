@@ -158,7 +158,12 @@ def _bucket_pairs_single_phase(
     bucket_stats = grouped.select(
         "band",
         "key",
-        F.size("ms").alias("size"),
+        # cast: F.size is int32 while the two-phase path and
+        # bucket_stats_only derive size from F.count (int64) — the
+        # three producers of this relation must agree on schema, not
+        # just values (checkpointed stats tables get restored and
+        # compared across runs)
+        F.size("ms").cast("long").alias("size"),
         _strategy(F.size("ms"), cfg).alias("strategy"),
     )
     pair_array = F.when(

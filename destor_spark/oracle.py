@@ -92,11 +92,16 @@ def _bucket_pairs(
         if len(ms) <= cap:
             for i in range(len(ms)):
                 for j in range(i + 1, len(ms)):
-                    pairs.add((ms[i], ms[j]))
+                    # same self-pair guard as the engine (lsh.py): a
+                    # url present twice in one bucket under different
+                    # warc_ts must not emit the degenerate (X, X)
+                    if ms[i] != ms[j]:
+                        pairs.add((ms[i], ms[j]))
         else:
             head = ms[0]
             for m in ms[1:]:
-                pairs.add((head, m))
+                if head != m:
+                    pairs.add((head, m))
     return pairs
 
 

@@ -82,10 +82,15 @@ def test_nonconvergence_raises_instead_of_emitting_conflicts(spark):
     union-find shortcut so the star loop is actually exercised."""
     import pytest as _pt
 
-    df = spark.createDataFrame(
-        [("a", "b"), ("b", "c"), ("c", "d")], "url_a string, url_b string"
-    )
+    # a 16-node path needs ~log2(depth) star rounds; one round cannot
+    # flatten it
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(15)]
+    df = spark.createDataFrame(chain, "url_a string, url_b string")
     with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=1, tail_rows=0)
+    # max_rounds < 1 is rejected outright: the post-loop shape check
+    # is only sound on round-oriented edges
+    with _pt.raises(ValueError, match="max_rounds"):
         connected_components(df, max_rounds=0, tail_rows=0)
 
 

@@ -68,3 +68,30 @@ def test_oracle_order_invariance():
         pa.groupby("cluster_id")["url"].apply(frozenset).sort_values().tolist()
         == pb.groupby("cluster_id")["url"].apply(frozenset).sort_values().tolist()
     )
+
+
+def test_oracle_bucket_pairs_self_pair_guard():
+    """Engine parity (lsh.py self-pair guard): a url present twice in
+    one bucket under different warc_ts must not emit the degenerate
+    (X, X) pair — in either the all-pairs or the star branch."""
+    import pandas as pd
+
+    from destor_spark.oracle import _bucket_pairs
+
+    docs = pd.DataFrame(
+        {
+            "url": ["u/a", "u/b", "u/c"],
+            "warc_ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03"]
+            ),
+        }
+    )
+    # all-pairs branch: u/a twice in the bucket
+    got = _bucket_pairs({(0, 1): ["u/a", "u/a", "u/b"]}, docs, cap=64)
+    assert ("u/a", "u/a") not in got
+    assert ("u/a", "u/b") in got
+    # star branch (cap exceeded): head duplicated
+    got = _bucket_pairs(
+        {(0, 1): ["u/a", "u/a", "u/b", "u/c"]}, docs, cap=2
+    )
+    assert ("u/a", "u/a") not in got

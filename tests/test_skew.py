@@ -97,8 +97,18 @@ def test_star_hot_flag_and_stats_only_parity(spark, hot_corpus):
         # pair semantics unchanged by the flag
         assert pairs_b.exceptAll(pairs_h).count() == 0
         assert pairs_h.exceptAll(pairs_b).count() == 0
-        # stats_only row-identical to the tuple stats (same cfg)
-        so = lsh_op.bucket_stats_only(ex, hot).toPandas()
+        # stats_only row-identical to the tuple stats (same cfg) —
+        # and SCHEMA-identical: the three producers of this relation
+        # (single-phase F.size, two-phase count, stats_only count)
+        # must agree on types too, or checkpointed stats tables from
+        # different paths conflict on restore/union
+        so_df = lsh_op.bucket_stats_only(ex, hot)
+        assert [
+            (f.name, f.dataType.simpleString()) for f in so_df.schema
+        ] == [
+            (f.name, f.dataType.simpleString()) for f in stats_h.schema
+        ]
+        so = so_df.toPandas()
         key = ["band", "key"]
         a = sh.sort_values(key).reset_index(drop=True)
         b = so.sort_values(key).reset_index(drop=True)
