@@ -646,3 +646,44 @@ def test_exact_dedup_state_bounded_by_watermark(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("select url from bounded_out").toPandas()
     assert set(got["url"]) == {"uA", "uF", "uG", "uC"}, got
+
+
+def test_streaming_cumulative_pairs_match_batch_pipeline(
+    spark, cfg, tmp_path
+):
+    """Randomized cross-engine gate: with retention effectively
+    disabled (huge value_len, no max_event_age), the UNION of
+    per-batch verified pairs over any batch split must equal the batch
+    pipeline's verified LSH pair set on the same corpus — each pair is
+    emitted exactly when its later member arrives, against the
+    accumulated store (destor's index-buffer + kv cascade,
+    /root/reference/src/index/index.c:150-216).  Buckets stay under
+    the default cap at this size, so the all-pairs rule applies in
+    both engines and set equality is exact."""
+    from destor_spark.plans.pipeline import run_pipeline
+
+    in_dir = str(tmp_path / "in_xgate")
+    state = str(tmp_path / "state_xgate")
+    os.makedirs(in_dir)
+
+    pages, _ = make_corpus(seed=17, n_docs=300)
+    # three deterministic batches in url order
+    order = pages.sort_values("url").reset_index(drop=True)
+    for i in range(3):
+        order.iloc[i::3].to_parquet(
+            os.path.join(in_dir, f"b{i}.parquet"), index=False
+        )
+        run_incremental_dedup(
+            spark, in_dir, state, cfg, value_len=100_000,
+            files_per_trigger=1,
+        )
+
+    got_p = pd.read_parquet(os.path.join(state, "pairs"))
+    got = {frozenset((a, b)) for a, b in zip(got_p.url_a, got_p.url_b)}
+
+    sdf = spark.createDataFrame(pages)
+    res = run_pipeline(sdf, cfg, use_simhash=False)
+    want_p = res.verified_pairs.select("url_a", "url_b").toPandas()
+    want = {frozenset((a, b)) for a, b in zip(want_p.url_a, want_p.url_b)}
+
+    assert got == want
