@@ -25,10 +25,25 @@ from pyspark.sql import functions as F
 
 
 class StageRunner:
-    def __init__(self, spark: SparkSession, base_dir: str, run_id: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        run_id: str,
+        context_fp: str | None = None,
+    ):
+        """context_fp: fingerprint of everything OUTSIDE the checkpoint
+        that determines a stage's output (DedupConfig values, pipeline
+        flags).  When set, a completed stage resumes only if its
+        manifest recorded the same fingerprint — a rerun against the
+        same ckpt_dir with a different tau / band config / modality
+        switch recomputes instead of silently returning results
+        computed under the old parameters.  required_cols guards the
+        column LAYOUT; this guards the PARAMETERS."""
         self.spark = spark
         self.base_dir = base_dir
         self.run_id = run_id
+        self.context_fp = context_fp
         os.makedirs(base_dir, exist_ok=True)
 
     def _paths(self, stage: str) -> tuple[str, str]:
@@ -39,8 +54,20 @@ class StageRunner:
         _, mpath = self._paths(stage)
         if not os.path.exists(mpath):
             return False
-        with open(mpath) as f:
-            return json.load(f).get("status") == "complete"
+        try:
+            with open(mpath) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            # a manifest truncated by a crash mid-write (pre-atomic
+            # layouts) marks the stage incomplete, not the run broken
+            return False
+        if m.get("status") != "complete":
+            return False
+        if self.context_fp is not None and m.get("context_fp") != self.context_fp:
+            # stage was computed under different parameters (or a
+            # pre-fingerprint layout) — recompute rather than resume
+            return False
+        return True
 
     def run(
         self,
@@ -65,6 +92,10 @@ class StageRunner:
         if repartition:
             df = df.repartition(repartition)
         df.write.mode("overwrite").parquet(data_dir)
+        # wall stops at the durable write: the lineage/metrics queries
+        # below re-read the output and would otherwise be billed to the
+        # stage, systematically understating throughput_mb_s
+        wall = time.time() - t0
         out = self.spark.read.parquet(data_dir)
         part_rows = {
             str(r["pid"]): r["rows"]
@@ -72,28 +103,23 @@ class StageRunner:
             .agg(F.count("*").alias("rows"))
             .collect()
         }
-        wall = time.time() - t0
         # jcr restore-report analogue (/root/reference/src/do_restore.c:
         # 243-277): data size, throughput MB/s, and the speed factor —
         # destor normalizes restored bytes by containers READ; the
         # parquet restatement normalizes stage bytes by files written
         # (the unit a downstream stage must open), same packing-density
         # meaning.
-        data_size = sum(
-            os.path.getsize(os.path.join(dp, fn))
-            for dp, _, fns in os.walk(data_dir)
-            for fn in fns
-            if fn.endswith(".parquet")
-        )
-        n_files = sum(
-            1
-            for _, _, fns in os.walk(data_dir)
-            for fn in fns
-            if fn.endswith(".parquet")
-        )
+        data_size = 0
+        n_files = 0
+        for dp, _, fns in os.walk(data_dir):
+            for name in fns:
+                if name.endswith(".parquet"):
+                    data_size += os.path.getsize(os.path.join(dp, name))
+                    n_files += 1
         manifest = {
             "status": "complete",
             "run_id": self.run_id,
+            "context_fp": self.context_fp,
             "stage": stage,
             "rows": int(sum(part_rows.values())),
             "n_partitions": len(part_rows),
@@ -108,8 +134,13 @@ class StageRunner:
             if n_files
             else None,
         }
-        with open(mpath, "w") as f:
+        # atomic: a crash mid-dump must leave either no manifest or the
+        # previous complete one, never a truncated file — the manifest
+        # IS the stage's commit record
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)
         self._append_metrics(manifest)
         return out
 

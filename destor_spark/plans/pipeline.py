@@ -160,8 +160,18 @@ def _materialize_gen(df: DataFrame, tag: str, root: str) -> DataFrame:
     try:
         path = os.path.join(root, f"{tag}_g{gen}")
         df.write.mode("overwrite").parquet(path)
-        prev = os.path.join(root, f"{tag}_g{gen - 1}")
-        shutil.rmtree(prev, ignore_errors=True)
+        # sweep EVERY older generation, not just gen-1: a failed write
+        # at gen N leaves g{N-1} behind (the retry then runs as N+1 and
+        # its gen-1 cleanup would only remove the failed g{N}), so a
+        # long-lived driver with transient write failures would
+        # accumulate one orphaned barrier dir per failure per tag
+        for name in os.listdir(root):
+            if name.startswith(f"{tag}_g") and name != f"{tag}_g{gen}":
+                tail = name[len(tag) + 2:]
+                if tail.isdigit() and int(tail) < gen:
+                    shutil.rmtree(
+                        os.path.join(root, name), ignore_errors=True
+                    )
         return df.sparkSession.read.parquet(path)
     finally:
         with _TAG_LOCK:
@@ -243,27 +253,9 @@ def run_pipeline(
     pairs = _materialize(pairs, "pairs", root)
     verified = _materialize(verify_op.verify_pairs(pairs, sigs, cfg), "verified", root)
 
-    edge_frames = [
-        exact_edges,
-        verified.select("url_a", "url_b"),
-    ]
-    if use_simhash:
-        # one cheap count over the materialized barrier (n_shingles
-        # column only) picks the candidate-index physics; pair
-        # semantics identical either way (auto_index_config docstring)
-        n_live = sigs.filter(F.col("n_shingles") > 0).count()
-        sim_cfg = simhash_op.auto_index_config(cfg, n_live)
-        edge_frames.append(simhash_op.simhash_pairs(sigs, sim_cfg))
-    if use_substring:
-        edge_frames.append(
-            substring_op.substring_pairs(
-                pages.select("url", "warc_ts", "text"), cfg
-            )
-        )
-
-    all_edges = edge_frames[0]
-    for e in edge_frames[1:]:
-        all_edges = all_edges.unionByName(e)
+    all_edges = _edge_union(
+        pages, sigs, exact_edges, verified, cfg, use_simhash, use_substring
+    )
     # Barrier the union BEFORE connected components: large-star
     # references the edge relation 4x (sym union + m-join), and
     # without a barrier each reference drags the full upstream —
@@ -273,7 +265,7 @@ def run_pipeline(
     # ~90 s of the 8-core leg's wall.  A ~100 B/edge parquet barrier
     # makes the fan-out O(edges), deterministically, at every scale.
     # (run_checkpointed already barriers edges via sr.run("edges").)
-    all_edges = _materialize(all_edges.distinct(), "edges", root)
+    all_edges = _materialize(all_edges, "edges", root)
 
     comps = cluster_op.connected_components(all_edges, cfg.max_cc_rounds)
     assignment = assign_op.assignments(pages, comps)
@@ -288,6 +280,63 @@ def run_pipeline(
     )
 
 
+def _edge_union(
+    pages: DataFrame,
+    sigs: DataFrame,
+    exact_edges: DataFrame,
+    verified: DataFrame,
+    cfg: DedupConfig,
+    use_simhash: bool,
+    use_substring: bool,
+) -> DataFrame:
+    """The exact ∪ verified ∪ [simhash] ∪ [substring] edge relation,
+    deduplicated.  ONE definition for both run_pipeline and
+    run_checkpointed — the two paths previously carried drift-prone
+    copies of this block, and batch-vs-checkpointed parity depends on
+    them staying identical."""
+    frames = [exact_edges, verified.select("url_a", "url_b")]
+    if use_simhash:
+        # one cheap count over the materialized barrier (n_shingles
+        # column only) picks the candidate-index physics; pair
+        # semantics identical either way (auto_index_config docstring)
+        n_live = sigs.filter(F.col("n_shingles") > 0).count()
+        sim_cfg = simhash_op.auto_index_config(cfg, n_live)
+        frames.append(simhash_op.simhash_pairs(sigs, sim_cfg))
+    if use_substring:
+        frames.append(
+            substring_op.substring_pairs(
+                pages.select("url", "warc_ts", "text"), cfg
+            )
+        )
+    out = frames[0]
+    for e in frames[1:]:
+        out = out.unionByName(e)
+    return out.distinct()
+
+
+def config_fingerprint(
+    cfg: DedupConfig, use_simhash: bool, use_substring: bool
+) -> str:
+    """Stable fingerprint of every parameter that determines stage
+    outputs, recorded in each stage manifest: resuming a checkpoint
+    under a DIFFERENT config must recompute, not silently return
+    results computed under the old parameters."""
+    import dataclasses
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        {
+            "cfg": dataclasses.asdict(cfg),
+            "use_simhash": bool(use_simhash),
+            "use_substring": bool(use_substring),
+        },
+        sort_keys=True,
+        default=list,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
 def run_checkpointed(
     spark: SparkSession,
     pages: DataFrame,
@@ -299,7 +348,12 @@ def run_checkpointed(
 ) -> DataFrame:
     """Checkpointed variant: every stage durable, resume from the last
     complete one (destor recipe semantics)."""
-    sr = StageRunner(spark, ckpt_dir, run_id)
+    sr = StageRunner(
+        spark,
+        ckpt_dir,
+        run_id,
+        context_fp=config_fingerprint(cfg, use_simhash, use_substring),
+    )
 
     # ONE text scan: content_sha rides in the signature stage (see
     # signatures_stage docstring); the checkpointed sigs table then
@@ -336,24 +390,13 @@ def run_checkpointed(
         "verified_pairs", lambda: verify_op.verify_pairs(pairs, sigs, cfg)
     )
 
-    def _edges() -> DataFrame:
-        frames = [exact_edges, verified.select("url_a", "url_b")]
-        if use_simhash:
-            n_live = sigs.filter(F.col("n_shingles") > 0).count()
-            sim_cfg = simhash_op.auto_index_config(cfg, n_live)
-            frames.append(simhash_op.simhash_pairs(sigs, sim_cfg))
-        if use_substring:
-            frames.append(
-                substring_op.substring_pairs(
-                    pages.select("url", "warc_ts", "text"), cfg
-                )
-            )
-        out = frames[0]
-        for e in frames[1:]:
-            out = out.unionByName(e)
-        return out.distinct()
-
-    edges = sr.run("edges", _edges)
+    edges = sr.run(
+        "edges",
+        lambda: _edge_union(
+            pages, sigs, exact_edges, verified, cfg,
+            use_simhash, use_substring,
+        ),
+    )
     comps = sr.run(
         "components",
         lambda: cluster_op.connected_components(edges, cfg.max_cc_rounds),

@@ -183,6 +183,16 @@ class Catalog:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
     ) -> None:
+        # same mode whitelist as IcebergCatalog.write_table: 'ignore'
+        # would skip the write while the manifest below still recorded
+        # a new version, and 'error'/'errorifexists' diverge from the
+        # Iceberg path's createOrReplace — the routing contract is
+        # identical call sites either way
+        if mode not in ("overwrite", "append"):
+            raise ValueError(
+                f"unsupported write mode {mode!r}: use 'overwrite' or "
+                "'append'"
+            )
         path = os.path.join(self.base, name)
         w = df.write.mode(mode)
         if partition_by:
@@ -213,8 +223,34 @@ class Catalog:
 
         path = os.path.join(self.base, name)
         tmp = path + "__rewrite"
-        self.read_table(name).filter(f"NOT ({predicate})").write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        shutil.rmtree(path)
+        old = path + "__old"
+        m = self._load_manifest()
+        entry = m["tables"].get(name, {})
+        part_by = entry.get("partition_by") or []
+        # Iceberg DELETE semantics: remove rows where the predicate is
+        # TRUE — rows where it evaluates to NULL are KEPT.  A bare
+        # NOT(pred) filter silently deletes the NULL rows too
+        # (NOT(NULL) is NULL), so the survivor condition must admit
+        # them explicitly.
+        survivors = self.read_table(name).filter(
+            f"NOT ({predicate}) OR (({predicate}) IS NULL)"
+        )
+        w = survivors.write.mode("overwrite")
+        if part_by:
+            # preserve the table's physical layout across the rewrite
+            w = w.partitionBy(*part_by)
+        w.parquet(tmp)
+        # commit via renames: the table dir is moved aside, the new
+        # data renamed in, and only then is the old data removed — a
+        # crash at any point leaves either the old table or the new
+        # one at `path` (plus at most a leftover __old/__rewrite dir),
+        # never a window with no table at all (the previous
+        # rmtree-then-rename sequence had exactly that window)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        if entry:
+            entry["versions"] = entry.get("versions", 0) + 1
+            m["tables"][name] = entry
+            self._save_manifest(m)

@@ -65,8 +65,6 @@ def read_trace(spark: SparkSession, path: str) -> DataFrame:
     limit (~100M records).  Shard larger traces into multiple files —
     the reader takes a directory/glob and parallelizes per file.
     """
-    _LUT = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
-
     def _unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fname, blob in zip(pdf["path"], pdf["content"]):
@@ -85,16 +83,10 @@ def read_trace(spark: SparkSession, path: str) -> DataFrame:
                     .reshape(-1)
                     .astype(np.int64)
                 )
-                # vectorized hex: per-nibble LUT gather, then view the
-                # (n, 32) char matrix as one fixed-width bytes column
-                flat = digests.reshape(-1)
-                chars = np.empty((flat.size, 2), dtype=np.uint8)
-                chars[:, 0] = _LUT[flat >> 4]
-                chars[:, 1] = _LUT[flat & 0xF]
-                hexes = (
-                    chars.reshape(-1, 32).view("S32").reshape(-1)
-                )
-                hexes = pd.Series(hexes).str.decode("ascii")
+                # vectorized hex via the one shared nibble-LUT helper
+                # (a second inline copy of the view trickery drifted
+                # from _hex_column once already)
+                hexes = _hex_column(digests)
                 yield pd.DataFrame(
                     {
                         "trace_file": fname,

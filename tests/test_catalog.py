@@ -144,3 +144,49 @@ def test_binaryfile_ingest(spark, tmp_path):
     for name, t in texts.items():
         assert rows[f"{name}.html"]["text"] == t
         assert rows[f"{name}.html"]["warc_ts"] is not None
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """Iceberg DELETE semantics: rows where the predicate evaluates to
+    NULL are KEPT (DELETE removes only predicate-TRUE rows).  The
+    fallback's bare NOT(pred) filter silently dropped them — NOT(NULL)
+    is NULL."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [("a", "en"), ("b", None), ("c", "de")], "url string, lang string"
+    )
+    cat.write_table(df, "pages")
+    cat.delete_where("pages", "lang = 'en'")
+    got = {r["url"] for r in cat.read_table("pages").collect()}
+    assert got == {"b", "c"}, got
+
+
+def test_delete_where_preserves_partition_layout(spark, tmp_path):
+    """The rewrite must re-apply the manifest's partition_by (and bump
+    the version): a predicate delete must not silently flatten a
+    partitioned table."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.range(100).selectExpr("id", "id % 4 AS grp")
+    cat.write_table(df, "nums", partition_by=["grp"])
+    v0 = cat._load_manifest()["tables"]["nums"]["versions"]
+    cat.delete_where("nums", "grp = 0")
+    table_dir = os.path.join(cat.base, "nums")
+    subdirs = {d for d in os.listdir(table_dir) if d.startswith("grp=")}
+    assert subdirs == {"grp=1", "grp=2", "grp=3"}, subdirs
+    m = cat._load_manifest()["tables"]["nums"]
+    assert m["versions"] == v0 + 1
+    assert cat.read_table("nums").count() == 75
+
+
+def test_fallback_write_mode_whitelist(spark, tmp_path):
+    """Catalog.write_table rejects the modes IcebergCatalog rejects —
+    'ignore' would skip the write yet still bump the manifest
+    version."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.range(5)
+    with pytest.raises(ValueError, match="unsupported write mode"):
+        cat.write_table(df, "t", mode="ignore")
+    with pytest.raises(ValueError, match="unsupported write mode"):
+        cat.write_table(df, "t", mode="error")

@@ -98,3 +98,53 @@ def test_resume_recomputes_old_layout_signatures(spark, cfg, smoke_corpus,
 
     resumed = _assign_pdf(run_checkpointed(spark, pages, cfg, ckpt_dir, "rF"))
     pd.testing.assert_frame_equal(fresh, resumed, check_dtype=False)
+
+
+def test_resume_recomputes_on_config_change(spark, smoke_corpus, ckpt_dir):
+    """A rerun against the same ckpt_dir under a DIFFERENT DedupConfig
+    must recompute, not resume: the stage manifests record a config
+    fingerprint and completed() requires a match.  Regression: resume
+    was config-blind, so --tau 0.5 after a killed --tau 0.71 run
+    silently returned stale results."""
+    import json
+
+    from destor_spark.config import DedupConfig
+
+    pages_pd, _ = smoke_corpus
+    pages = spark.createDataFrame(pages_pd)
+    a = run_checkpointed(
+        spark, pages, DedupConfig(num_hashes=32, bands=8, rows=4, tau=0.6),
+        ckpt_dir,
+    ).toPandas()
+    with open(os.path.join(ckpt_dir, "signatures.manifest.json")) as f:
+        fp1 = json.load(f)["context_fp"]
+    assert fp1
+
+    # different tau: every stage fingerprint mismatches -> recompute;
+    # observable via the manifest's recorded fingerprint changing
+    run_checkpointed(
+        spark, pages, DedupConfig(num_hashes=32, bands=8, rows=4, tau=0.9),
+        ckpt_dir,
+    ).toPandas()
+    with open(os.path.join(ckpt_dir, "signatures.manifest.json")) as f:
+        fp2 = json.load(f)["context_fp"]
+    assert fp2 != fp1
+    assert len(a) == len(pages_pd)
+
+
+def test_corrupt_manifest_recomputes_not_crashes(
+    spark, cfg, smoke_corpus, ckpt_dir
+):
+    """A manifest truncated by a crash mid-write marks its stage
+    incomplete — the next run recomputes it instead of dying on
+    JSONDecodeError at startup (the exact kill/resume path the module
+    exists to survive)."""
+    pages_pd, _ = smoke_corpus
+    pages = spark.createDataFrame(pages_pd)
+    a = _assign_pdf(run_checkpointed(spark, pages, cfg, ckpt_dir))
+    # truncate one manifest as a mid-write crash would
+    mpath = os.path.join(ckpt_dir, "verified_pairs.manifest.json")
+    with open(mpath, "w") as f:
+        f.write('{"status": "comp')
+    b = _assign_pdf(run_checkpointed(spark, pages, cfg, ckpt_dir))
+    pd.testing.assert_frame_equal(a, b)
