@@ -59,16 +59,21 @@ def incremental_exact_assign(
     driver query); swap for sha2-256 when adversarial collisions are a
     concern — the plan shape is identical.
     """
+    # NULL text hashes as the empty string (same rule as
+    # exact.with_content_hash): md5(NULL) is NULL, NULL keys never
+    # match in the equi-joins below, and a null-text delta doc would
+    # silently vanish from the output — violating CLOSURE
+    h_expr = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     base_index = (
-        base.select(F.md5(F.col(text_col)).alias("h"),
-                    F.col(id_col).alias("bid"))
+        base.select(h_expr.alias("h"), F.col(id_col).alias("bid"))
         .groupBy("h")
         .agg(F.min("bid").alias("canonical"))
     )
-    d = delta.select(
-        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("h")
-    )
-    joined = d.join(base_index, "h", "left")
+    d = delta.select(F.col(id_col).alias("doc_id"), h_expr.alias("h"))
+    # barrier: both the hits and misses branches (and misses twice
+    # more) re-reference this join — without it the base md5 scan +
+    # aggregation lineage re-runs once per subtree of the final union
+    joined = d.join(base_index, "h", "left").localCheckpoint()
     hits = joined.filter(F.col("canonical").isNotNull()).select(
         "doc_id",
         F.col("canonical").alias("cluster_id"),

@@ -20,13 +20,27 @@ from pyspark.sql import functions as F
 from destor_spark.config import DedupConfig
 
 
-def _est_jaccard(sig_a, sig_b, num_hashes: int):
+def _est_jaccard(sig_a, sig_b):
+    """Fraction of equal signature positions, null-safe.
+
+    eqNullSafe, not ==: zip_with pads the shorter array with NULL when
+    lengths differ (e.g. a durable signature store written under a
+    different num_hashes unioned with fresh batch sigs), and a plain
+    == would null-poison the aggregate — NULL est silently fails the
+    tau filter, mass false negatives with no error.  Null-safe pads
+    score 0 and the denominator is the LONGER length, so length drift
+    honestly penalizes the estimate instead of erasing the pair.  With
+    equal lengths (the invariant case) this is bit-identical to
+    agree / num_hashes."""
     agree = F.aggregate(
-        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.zip_with(sig_a, sig_b, lambda x, y: x.eqNullSafe(y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return agree / F.lit(num_hashes)
+    # lit(1) floor: empty-vs-empty sigs never reach verify (LSH
+    # excludes the n_shingles=0 sentinel), but ANSI mode turns an
+    # impossible 0/0 into a job-killing error rather than NULL
+    return agree / F.greatest(F.size(sig_a), F.size(sig_b), F.lit(1))
 
 
 def verify_pairs(
@@ -49,8 +63,6 @@ def verify_pairs(
     scored = joined.select(
         "url_a",
         "url_b",
-        _est_jaccard(F.col("sig_a"), F.col("sig_b"), cfg.num_hashes).alias(
-            "est_jaccard"
-        ),
+        _est_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
     )
     return scored.filter(F.col("est_jaccard") >= F.lit(cfg.tau))

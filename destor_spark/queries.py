@@ -225,11 +225,13 @@ WITH delta AS (
   SELECT doc_id + {_INC_PAIR_OFF_B}, text || ' v3'
   FROM documents WHERE doc_id % 11 = 5),
 base_index AS (
-  SELECT md5(text) AS h, min(doc_id) AS canonical
+  -- COALESCE mirrors the engine's null-text rule (incremental.py):
+  -- md5(NULL) is NULL and NULL keys never equi-join
+  SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS canonical
   FROM documents GROUP BY 1),
 joined AS (
-  SELECT d.doc_id, md5(d.text) AS h, b.canonical
-  FROM delta d LEFT JOIN base_index b ON md5(d.text) = b.h),
+  SELECT d.doc_id, md5(coalesce(d.text, '')) AS h, b.canonical
+  FROM delta d LEFT JOIN base_index b ON md5(coalesce(d.text, '')) = b.h),
 hits AS (
   SELECT doc_id, canonical AS cluster_id, 'base_hit' AS status
   FROM joined WHERE canonical IS NOT NULL),

@@ -39,6 +39,31 @@ def test_incremental_contract_semantics(spark):
     }
 
 
+def test_incremental_null_text_closure(spark):
+    """CLOSURE under NULL text: md5(NULL) is NULL and NULL keys never
+    equi-join, so without the coalesce('') rule a null-text delta doc
+    would silently vanish from the output.  NULL and '' hash alike
+    (the exact.with_content_hash rule), so they cluster together."""
+    base = spark.createDataFrame(
+        [(10, "a"), (11, None)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(1, None), (2, ""), (3, None), (4, "b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.status)
+        for r in incremental_exact_assign(base, delta).collect()
+    }
+    # every delta doc appears exactly once; NULL/'' join base's NULL row
+    assert got == {
+        1: (11, "base_hit"),
+        2: (11, "base_hit"),
+        3: (11, "base_hit"),
+        4: (4, "new_canonical"),
+    }
+
+
 def test_incremental_base_never_in_output(spark):
     """The output covers exactly the delta — base rows are never
     re-assigned (bounded per-batch output)."""

@@ -135,3 +135,33 @@ def test_recall_gate_20k(spark, cfg):
     precision = len(oracle_pairs & spark_pairs) / max(len(spark_pairs), 1)
     assert recall >= 0.99, recall
     assert precision >= 0.99, precision
+
+
+def test_verify_pairs_null_safe_on_length_drift(spark, cfg):
+    """Signature-length drift (e.g. a durable store written under a
+    different num_hashes unioned with fresh sigs) must penalize the
+    estimate, not null-poison it: zip_with pads the shorter array with
+    NULL, and a plain == would make est_jaccard NULL -> the tau filter
+    silently drops the pair with no error."""
+    from destor_spark.operators.verify import verify_pairs
+
+    sigs = spark.createDataFrame(
+        [
+            ("u1", list(range(128))),
+            ("u2", list(range(128))),          # identical, full length
+            ("u3", list(range(96))),           # 96/128 positions agree
+        ],
+        "url string, sig array<long>",
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3")], "url_a string, url_b string"
+    )
+    out = {
+        (r.url_a, r.url_b): r.est_jaccard
+        for r in verify_pairs(pairs, sigs, cfg).collect()
+    }
+    # identical full-length pair scores exactly 1.0
+    assert out[("u1", "u2")] == 1.0
+    # drifted pair: 96 agreements / max(128, 96) = 0.75 >= tau 0.71 —
+    # present (not NULL-dropped) and honestly penalized
+    assert abs(out[("u1", "u3")] - 0.75) < 1e-12
