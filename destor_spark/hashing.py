@@ -367,7 +367,9 @@ def xxh64_tokens(
             ln_u = ln.astype(np.uint64)
             h = h_seed + ln_u  # (seed + P5 + n) & M
             # 8-byte lanes: h = rotl(h ^ round(0, w_j), 27) * P1 + P4
-            for j in range(4):
+            # (j stops at 2: this path only sees ln < 32, so the
+            # ln >= 32 gate of a j=3 pass could never select it)
+            for j in range(3):
                 lane = _vrotl(w[:, j] * _VP2, 31) * _VP1
                 hj = _vrotl(h ^ lane, 27) * _VP1 + _VP4
                 h = np.where(ln >= 8 * (j + 1), hj, h)
@@ -509,22 +511,37 @@ def _window_keys(s: str, k: int) -> np.ndarray:
 
 
 def anchor_offsets(
-    s: str, glen: int, stride: int, anchor_w: int
+    s: str, glen: int, win: int, anchor_w: int
 ) -> np.ndarray:
-    """Content-defined anchor POSITIONS of s, O(n) vectorized: offsets
-    i in [0, len(s)-glen] whose anchor_w-char window key is ≡ 0 mod
-    stride (expected density 1/stride).  The gram (i, i+glen) is the
-    candidate unit; the anchor window always fits inside it
-    (anchor_w < glen).  destor analogue: Rabin CDC cut-point rule —
-    hash of a small window mod divisor picks content-stable positions
-    (/root/reference/src/chunking/rabin_chunking.c:249-276), restated
-    over characters with the same division-free dual-lane 31-bit
-    rolling family as the verify kernel (_window_keys).
+    """Minimizer (winnowing) anchor POSITIONS of s, O(n log win)
+    vectorized: for every window of `win` consecutive offsets, the
+    offset whose anchor_w-char window key is minimal (leftmost on
+    ties) is an anchor; the anchor set is the union over all windows,
+    restricted to offsets where the glen-gram still fits
+    (i <= len(s) - glen).
 
-    Replaces the r3/r4 Catalyst formulation (xxhash64(F.substring) at
-    every offset): UTF8String.substring seeks from the string START, so
-    per-offset JVM hashing is O(n^2) per document — ~10^12 byte steps
-    for a 1 MB doc.  Here four prefix-sum passes cost O(n) total.
+    DETERMINISTIC COVERAGE GUARANTEE (Schleimer/Wilkerson/Aiken
+    winnowing — same role as the Rabin CDC cut-point rule,
+    /root/reference/src/chunking/rabin_chunking.c:249-276): two
+    documents sharing a contiguous span of >= glen + win - 1 chars
+    always share an anchored gram.  Window contents inside the shared
+    span are character-identical, so both documents select the same
+    RELATIVE argmin (ties break to the leftmost offset, which is
+    content-relative), and the first in-span window's winner leaves
+    room for a full in-span gram.  The previous rule (anchor-key %
+    stride == 0) had only probabilistic coverage and measurably missed
+    ~12% of exactly-at-threshold spans at the default config (r5
+    review); the minimizer rule closes that hole at the same expected
+    anchor density (~2/(win+1) vs 1/stride, win ~ 2*stride).
+
+    Vectorization: dual-lane 31-bit window keys (same prefix-sum trick
+    as _window_keys, O(n)); each key's low 32 bits are packed above
+    the offset ((k32 << 32) | i, uint64) so one np.minimum doubling
+    cascade (ceil(log2(win)) passes) yields every window's
+    (min-key, leftmost-offset) pair; anchors are the unique low-32
+    bits.  Truncating keys to 32 bits only affects WHICH equal-key
+    offset wins — still leftmost, still content-relative — never
+    coverage.
     """
     n = len(s)
     if n < glen:
@@ -533,17 +550,28 @@ def anchor_offsets(
     h1 = _window_hashes_one_base(cp, anchor_w, _RH_BASE)
     h2 = _window_hashes_one_base(cp, anchor_w, _RH_BASE2)
     keys = h1 * np.uint64(_RH_M31) + h2
-    lim = n - glen + 1  # gram must fit
-    return np.nonzero(keys[:lim] % np.uint64(stride) == 0)[0].astype(np.int64)
+    packed = (keys & np.uint64(0xFFFFFFFF)) << np.uint64(32)
+    packed |= np.arange(packed.size, dtype=np.uint64)
+    w = max(1, min(int(win), packed.size))
+    m = packed.copy()
+    c = 1
+    while c < w:
+        d = min(c, w - c)  # m[i] covers [i, i+c); extend to c+d <= 2c
+        np.minimum(m[:-d], m[d:], out=m[:-d])
+        c += d
+    nw = packed.size - w + 1
+    pos = np.unique(m[:nw] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    return pos[pos <= n - glen]
 
 
 def anchored_gram_keys(
-    s: str, glen: int, stride: int, anchor_w: int
+    s: str, glen: int, win: int, anchor_w: int
 ) -> np.ndarray:
     """UNIQUE 62-bit keys of the glen-char grams at s's anchored
-    offsets, O(n) total (prefix-sum window hashes make all-windows the
-    same cost as survivors-only).  int64 view for Spark columns."""
-    pos = anchor_offsets(s, glen, stride, anchor_w)
+    offsets (minimizer rule, see anchor_offsets), O(n log win) total
+    (prefix-sum window hashes make all-windows the same cost as
+    survivors-only).  int64 view for Spark columns."""
+    pos = anchor_offsets(s, glen, win, anchor_w)
     if pos.size == 0:
         return np.empty(0, dtype=np.int64)
     gk = _window_keys(s, glen)

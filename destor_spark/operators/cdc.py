@@ -35,6 +35,19 @@ CHUNK_SCHEMA = (
 )
 
 
+def _cutter_kwargs(
+    algo: str, min_size: int, avg_size: int, max_size: int
+) -> dict:
+    """Single dispatch point for per-algorithm cutter signatures (AE
+    has no min_size — its window math supplies the lower bound).  Both
+    chunk_documents and chunk_invariants MUST build kwargs here, so a
+    new cutter signature cannot make the invariant certificate chunk
+    with different parameters than the production chunker."""
+    if algo == "ae":
+        return {"avg_size": avg_size, "max_size": max_size}
+    return {"min_size": min_size, "avg_size": avg_size, "max_size": max_size}
+
+
 def chunk_documents(
     df: DataFrame,
     algo: str = "rabin",
@@ -52,15 +65,7 @@ def chunk_documents(
     (hash_phase.c's per-chunk digest).
     """
     cutter = CUTTERS[algo]
-    kw = (
-        {"avg_size": avg_size, "max_size": max_size}
-        if algo == "ae"
-        else {
-            "min_size": min_size,
-            "avg_size": avg_size,
-            "max_size": max_size,
-        }
-    )
+    kw = _cutter_kwargs(algo, min_size, avg_size, max_size)
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
     tname = text_col
 
@@ -133,15 +138,7 @@ def chunk_invariants(
     one pass).  Map-only: no shuffle.
     """
     cutter = CUTTERS[algo]
-    kw = (
-        {"avg_size": avg_size, "max_size": max_size}
-        if algo == "ae"
-        else {
-            "min_size": min_size,
-            "avg_size": avg_size,
-            "max_size": max_size,
-        }
-    )
+    kw = _cutter_kwargs(algo, min_size, avg_size, max_size)
     cols = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
     tname = text_col
 

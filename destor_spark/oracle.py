@@ -213,11 +213,12 @@ def run_oracle(
     if use_substring:
         from destor_spark.operators.substring import (
             ANCHOR_W,
-            DEF_STRIDE,
+            _anchor_win,
             _gram_len,
         )
 
         glen = _gram_len(cfg)
+        win = _anchor_win(cfg)
         gbuckets: dict[tuple[int, int], list[str]] = defaultdict(list)
         for u, t in zip(urls, texts):
             # same anchored-gram kernel as the Spark operator (shared
@@ -226,7 +227,7 @@ def run_oracle(
             # still independently arbitrated by the exact span check
             # below.
             for g in H.anchored_gram_keys(
-                t or "", glen, DEF_STRIDE, ANCHOR_W
+                t or "", glen, win, ANCHOR_W
             ).tolist():
                 gbuckets[(20_000, g)].append(u)
         # verification: the shared anchored gram proves ~L-2*stride

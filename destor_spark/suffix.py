@@ -26,10 +26,14 @@ Algorithms (all public classics):
     reduction; a unique separator sentinel keeps cross-sentinel
     matches impossible).
 
-Memory: the retained levels cost ~8n log2(n) bytes of int32/int64 per
-pair being verified (a 1 MB+1 MB pair ~ 80 MB transient); verify-path
-texts are page-sized, and the Arrow batch processes pairs one at a
-time, so the bound is per-pair, not per-batch.
+Memory: the retained int32 rank levels cost ~4n·log2(n) bytes per
+pair, and _doubling_levels additionally holds ~4 int64 working arrays
+(~32n bytes) while building — a 1 MB + 1 MB codepoint pair (n ~ 2^21)
+peaks around 90 MB of levels plus ~70 MB transient working set, call
+it ~150-250 MB.  Verify-path texts are page-sized (KBs), and the
+Arrow batch processes pairs one at a time, so the bound is per-pair,
+not per-batch; size executor overhead memory for the LARGEST document
+pair you expect, not for the batch.
 """
 
 from __future__ import annotations

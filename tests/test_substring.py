@@ -18,7 +18,7 @@ from destor_spark import hashing as H
 from destor_spark.config import DedupConfig
 from destor_spark.operators.substring import (
     ANCHOR_W,
-    DEF_STRIDE,
+    _anchor_win,
     _gram_len,
     candidate_substring_pairs,
     substring_pairs,
@@ -26,6 +26,7 @@ from destor_spark.operators.substring import (
 
 CFG = DedupConfig()  # substring_len = 200
 GLEN = _gram_len(CFG)  # 136
+WIN = _anchor_win(CFG)  # 64
 
 _ALPHABET = np.array(list("abcdefghijklmnopqrstuvwxyz"))
 
@@ -42,7 +43,7 @@ def _span_with_anchor(seed: int, span_len: int) -> str:
     rng = np.random.default_rng(seed)
     while True:
         span = _rand_str(rng, span_len)
-        if H.anchor_offsets(span, GLEN, DEF_STRIDE, ANCHOR_W).size:
+        if H.anchor_offsets(span, GLEN, WIN, ANCHOR_W).size:
             return span
 
 
@@ -207,3 +208,61 @@ def test_oracle_applies_same_verification():
     sub = o["dup_pairs"][o["dup_pairs"]["modality"] == "substring"]
     got = {frozenset((a, b)) for a, b in zip(sub["url_a"], sub["url_b"])}
     assert got == {frozenset(("l1", "l2"))}
+
+
+def test_minimizer_coverage_guarantee_at_threshold():
+    """Deterministic coverage: ANY two docs sharing an exactly-L-char
+    span (at arbitrary offsets, arbitrary surroundings) must share an
+    anchored gram, because GLEN + WIN - 1 <= L (winnowing property).
+    The pre-r5 key%stride rule measurably missed ~12% of these."""
+    assert GLEN + WIN - 1 <= CFG.substring_len
+    rng = np.random.default_rng(123)
+    L = CFG.substring_len
+    for trial in range(300):
+        span = _rand_str(rng, L)
+        a = (
+            _rand_str(rng, int(rng.integers(0, 300)))
+            + span
+            + _rand_str(rng, int(rng.integers(0, 300)))
+        )
+        b = (
+            _rand_str(rng, int(rng.integers(0, 300)))
+            + span
+            + _rand_str(rng, int(rng.integers(0, 300)))
+        )
+        ka = H.anchored_gram_keys(a, GLEN, WIN, ANCHOR_W)
+        kb = H.anchored_gram_keys(b, GLEN, WIN, ANCHOR_W)
+        assert np.intersect1d(ka, kb).size > 0, trial
+
+
+def test_minimizer_coverage_guarantee_small_L():
+    """The guarantee must hold for small L too: _anchor_win shrinks
+    the window (denser anchors) instead of losing coverage."""
+    cfg = DedupConfig(substring_len=60)
+    glen, win = _gram_len(cfg), _anchor_win(cfg)
+    assert glen + win - 1 <= cfg.substring_len
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        span = _rand_str(rng, cfg.substring_len)
+        a = _rand_str(rng, int(rng.integers(0, 120))) + span
+        b = span + _rand_str(rng, int(rng.integers(0, 120)))
+        ka = H.anchored_gram_keys(a, glen, win, ANCHOR_W)
+        kb = H.anchored_gram_keys(b, glen, win, ANCHOR_W)
+        assert np.intersect1d(ka, kb).size > 0, trial
+
+
+def test_minimizer_anchor_offsets_properties():
+    """Anchor positions: valid gram starts, content-determined (same
+    span -> same relative anchors when fully windowed), and density
+    near 2/(WIN+1)."""
+    rng = np.random.default_rng(42)
+    s = _rand_str(rng, 5000)
+    pos = H.anchor_offsets(s, GLEN, WIN, ANCHOR_W)
+    assert pos.size > 0
+    assert (pos >= 0).all() and (pos <= len(s) - GLEN).all()
+    assert (np.diff(pos) > 0).all()
+    # density: minimizer expectation 2/(w+1) over the windowed region
+    dens = pos.size / (len(s) - GLEN)
+    assert 0.5 * 2 / (WIN + 1) < dens < 2.5 * 2 / (WIN + 1), dens
+    # max gap between consecutive anchors is bounded by the window
+    assert np.diff(pos).max() <= WIN

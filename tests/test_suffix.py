@@ -27,7 +27,7 @@ from destor_spark import hashing as H
 from destor_spark.config import DedupConfig
 from destor_spark.operators.substring import (
     ANCHOR_W,
-    DEF_STRIDE,
+    _anchor_win,
     _gram_len,
     longest_span_pairs,
 )
@@ -39,6 +39,7 @@ from destor_spark.suffix import (
 
 CFG = DedupConfig()  # substring_len = 200
 GLEN = _gram_len(CFG)
+WIN = _anchor_win(CFG)
 
 _ALPHABET = np.array(list("abcdefghijklmnopqrstuvwxyz"))
 
@@ -138,7 +139,7 @@ def planted_pages(spark):
         # fires for any embedding (same rule as tests/test_substring)
         while True:
             s = _rand_str(rng, n)
-            if H.anchor_offsets(s, GLEN, DEF_STRIDE, ANCHOR_W).size:
+            if H.anchor_offsets(s, GLEN, WIN, ANCHOR_W).size:
                 return s
 
     big = span_with_anchor(600)
