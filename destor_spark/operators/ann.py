@@ -44,44 +44,43 @@ def _norm(a):
 
 
 def cosine_sim(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity, zero-safe: a zero-norm (or empty) vector has
+    undefined cosine — define it as 0.0 rather than letting ANSI mode
+    (Spark 4 default) kill the whole job with DIVIDE_BY_ZERO on one
+    degenerate row.  nullif turns the 0 denominator into NULL (NULL
+    division is legal under ANSI), coalesce maps it to 0.0; the DuckDB
+    oracle twins apply the identical nullif/coalesce rule."""
+    return F.coalesce(
+        _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0)),
+        F.lit(0.0),
+    )
 
 
-def brute_force_topk(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Exact cosine top-k of every query vs the corpus.
+def _msim(a, b):
+    """Integer micro-unit cosine (HALF_UP round) — the portable score
+    every ANN operator and every DuckDB twin ranks by."""
+    return F.round(cosine_sim(a, b) * 1_000_000).cast("bigint")
 
-    queries is expected small: it is broadcast, so the corpus is
-    scanned once with no shuffle (verified via .explain:
-    BroadcastNestedLoopJoin -> per-row codegen dot products).
-    Output: (query_id, rank, neighbor_id, msim) where msim is the
-    similarity scaled to integer micro-units (portable comparison).
-    """
+
+def _qvec(queries: DataFrame, id_col: str, vec_col: str, broadcast: bool):
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
     )
-    c = emb.select(
+    return F.broadcast(q) if broadcast else q
+
+
+def _cvec(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_sim(F.col("qv"), F.col("cv")) * 1_000_000)
-            .cast("bigint")
-            .alias("msim"),
-        )
-    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k per query over (query_id, neighbor_id, msim): desc msim,
+    neighbor_id ASC tie-break — ORACLE-PARITY-CRITICAL and therefore
+    defined once for all three ANN operators."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("msim"), F.asc("neighbor_id")
     )
@@ -90,6 +89,61 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "msim")
     )
+
+
+def _rerank_candidates(
+    cand: DataFrame, q: DataFrame, c: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, neighbor_id) candidate
+    relation: join back both vector sides, score, rank.  Shared by
+    srp_topk and ivf_topk (brute_force_topk scores inside its single
+    broadcast cross join instead — no candidate relation exists)."""
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _msim(F.col("qv"), F.col("cv")).alias("msim"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of every query vs the corpus.
+
+    queries is expected small: it is broadcast, so the corpus is
+    scanned once with no shuffle (verified via .explain:
+    BroadcastNestedLoopJoin -> per-row codegen dot products).
+    Output: (query_id, rank, neighbor_id, msim) where msim is the
+    similarity scaled to integer micro-units (portable comparison).
+
+    exclude_self drops neighbor_id == query_id rows — correct when the
+    queries ARE corpus rows (the default self-lookup shape).  Pass
+    False when query ids live in a DIFFERENT namespace than corpus
+    ids: an id collision there is a coincidence, and dropping it would
+    silently delete a legitimate neighbor.  (Same switch on srp_topk
+    and ivf_topk.)
+    """
+    q = _qvec(queries, id_col, vec_col, broadcast=True)
+    c = _cvec(emb, id_col, vec_col)
+    scored = q.crossJoin(c)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        _msim(F.col("qv"), F.col("cv")).alias("msim"),
+    )
+    return _rank_topk(scored, k)
 
 
 def srp_sketch_udf(
@@ -167,6 +221,7 @@ def srp_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Bucketed ANN: banded SRP candidate join, exact cosine re-rank.
 
@@ -194,41 +249,13 @@ def srp_topk(
     )
     if broadcast_queries:
         qb = F.broadcast(qb)
-    cand = (
-        qb.join(cb, ["band", "key"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
-    if broadcast_queries:
-        q = F.broadcast(q)
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    )
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_sim(F.col("qv"), F.col("cv")) * 1_000_000)
-            .cast("bigint")
-            .alias("msim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("msim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "msim")
-    )
+    cand = qb.join(cb, ["band", "key"])
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.select("query_id", "neighbor_id").distinct()
+    q = _qvec(queries, id_col, vec_col, broadcast_queries)
+    c = _cvec(emb, id_col, vec_col)
+    return _rerank_candidates(cand, q, c, k)
 
 
 def ivf_centroids(
@@ -345,12 +372,18 @@ def ivf_assign_matmul(
     cmat = np.asarray(
         cents_pd["cvec"].to_numpy()[order].tolist(), dtype=np.float64
     )
-    cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    # zero-norm clip: cosine_sim defines cosine(0, y) = 0, so a zero
+    # vector must score msim 0 for every cell (-> lowest-id cells win
+    # the stable tie-break, matching ivf_assign exactly) instead of
+    # 0/0 -> NaN -> INT64_MIN garbage from astype
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat_n = cmat / np.where(cnorm == 0.0, 1.0, cnorm)
 
     @pandas_udf(ArrayType(LongType()))
     def cells(vecs: pd.Series) -> pd.Series:
         mat = np.asarray(vecs.tolist(), dtype=np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        vnorm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(vnorm == 0.0, 1.0, vnorm)
         s = mat @ cmat_n.T * 1_000_000
         # HALF_UP (away from zero), matching JVM F.round / DuckDB
         # round() in ivf_assign — np.rint is half-to-even, which flips
@@ -376,6 +409,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-partitioned ANN: cell-restricted candidate join + exact
     cosine re-rank — the inverted-file counterpart of srp_topk.
@@ -398,41 +432,13 @@ def ivf_topk(
     query_cells = ivf_assign(queries, cents, nprobe, "query_id", id_col, vec_col)
     if broadcast_queries:
         query_cells = F.broadcast(query_cells)
-    cand = (
-        query_cells.join(corpus_cells, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
-    if broadcast_queries:
-        q = F.broadcast(q)
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    )
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_sim(F.col("qv"), F.col("cv")) * 1_000_000)
-            .cast("bigint")
-            .alias("msim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("msim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "msim")
-    )
+    cand = query_cells.join(corpus_cells, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.select("query_id", "neighbor_id").distinct()
+    q = _qvec(queries, id_col, vec_col, broadcast_queries)
+    c = _cvec(emb, id_col, vec_col)
+    return _rerank_candidates(cand, q, c, k)
 
 
 def near_dup_band_relation(

@@ -128,6 +128,7 @@ def bloom_exact_lookup(
     m_bits, k = bloom_params(max(1, n), bits_per_key)
     words = build_bloom(base.select(key_col), key_col, m_bits, k)
     candidates = bloom_prefilter(probe, words, key_col, m_bits, k)
-    return candidates.join(
-        base.select(key_col).distinct(), key_col, "left_semi"
-    )
+    # no .distinct() on base: semi-join semantics already ignore
+    # build-side duplicates, and the distinct would shuffle+agg the
+    # full base relation once more for nothing at 10^12 keys
+    return candidates.join(base.select(key_col), key_col, "left_semi")

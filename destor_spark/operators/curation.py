@@ -280,9 +280,17 @@ def canonical_url(url: Column) -> Column:
       4. path: trailing slash stripped
       5. query: tracking params (utm_*, ref, fbclid, gclid) dropped,
          the rest sorted bytewise and re-joined
+
+    Degenerate inputs never merge unrelated documents: protocol-
+    relative urls (//host/p) parse like scheme'd ones; a url with NO
+    extractable host (empty, path-only, query-only) canonicalizes to
+    its own fragment-stripped raw string (empty -> NULL) instead of
+    collapsing to a shared constant — pre-r5 every such url became the
+    literal 'https://' and one url_dup_group, silently removing every
+    document with a missing/odd url as a "duplicate".
     """
     no_frag = F.regexp_replace(url, "#.*", "")
-    after = F.regexp_replace(no_frag, "^[A-Za-z]+://", "")
+    after = F.regexp_replace(no_frag, "^([A-Za-z][A-Za-z0-9+.-]*:)?//", "")
     hostport = F.lower(F.regexp_extract(after, "^([^/?]+)", 1))
     host = F.regexp_replace(
         F.regexp_replace(hostport, ":(80|443)$", ""), r"^(www\.)+", ""
@@ -298,7 +306,7 @@ def canonical_url(url: Column) -> Column:
             & ~p.rlike(_TRACKING_RE),
         )
     )
-    return F.concat(
+    canon = F.concat(
         F.lit("https://"),
         host,
         path,
@@ -306,6 +314,9 @@ def canonical_url(url: Column) -> Column:
             F.size(params) > 0,
             F.concat(F.lit("?"), F.array_join(params, "&")),
         ).otherwise(F.lit("")),
+    )
+    return F.when(host == F.lit(""), F.nullif(no_frag, F.lit(""))).otherwise(
+        canon
     )
 
 
@@ -315,6 +326,7 @@ def url_dup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
     aggregation on the canonical string — uniform keys, scale-safe."""
     return (
         df.select("doc_id", canonical_url(F.col(url_col)).alias("url_canon"))
+        .filter(F.col("url_canon").isNotNull())  # empty urls never group
         .groupBy("url_canon")
         .agg(
             F.count("*").alias("n_docs"),
@@ -441,6 +453,10 @@ def curation_decisions(
         # the removal set is the doc spine minus the keeper set — one
         # map-side-combinable min per key, one anti-join on the UNIFORM
         # doc_id (never a window / join on the hot duplicate key).
+        # NULL keys (null text, empty url) mean "no basis to call this
+        # a duplicate" — exclude them, or every null-keyed doc past the
+        # first would be removed as a dup of the others.
+        keyed = keyed.filter(F.col("k").isNotNull())
         keepers = keyed.groupBy("k").agg(F.min("doc_id").alias("doc_id"))
         return (
             keyed.select("doc_id")

@@ -33,25 +33,25 @@ FEATURE_SCHEMA = (
     "feature array<float>"
 )
 
-try:  # real decoders unavailable in this container — stub path below
-    import PIL.Image  # noqa: F401
-
-    HAVE_PIL = True
-except Exception:
-    HAVE_PIL = False
+def decode_media(payload: bytes, kind: str) -> np.ndarray:
+    """REAL decode hook — intentionally unimplemented in this container
+    (no PIL/torchaudio/ffmpeg here).  Production wires the codec stack
+    in HERE (decode + model features, returning a float32 vector);
+    nothing on the stub pipeline calls it, so merely having a codec
+    library importable can never flip the default path into a crash.
+    """
+    raise NotImplementedError(
+        "real media decode not wired in this sandbox; see _decode_stub"
+    )
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic fake 'decode': derives a pseudo-feature from bytes.
 
-    Real deployments replace this with PIL/torchaudio/ffmpeg decode +
-    model features; the Spark plumbing (Arrow batches, schema,
-    partition-level iteration) is identical either way.
+    Real deployments replace this with decode_media; the Spark
+    plumbing (Arrow batches, schema, partition-level iteration) is
+    identical either way.
     """
-    if HAVE_PIL and kind == "image":
-        raise NotImplementedError(
-            "real image decode not wired in this sandbox"
-        )
     arr = np.frombuffer(payload[:256].ljust(256, b"\0"), dtype=np.uint8)
     return (arr.reshape(8, 32).mean(axis=1) / 255.0).astype(np.float32)
 
@@ -93,6 +93,8 @@ def sniff_media(payload: bytes | None) -> tuple[str, int | None, int | None, int
             # consume 0xFF fill/padding bytes before the marker id
             while i + 1 < len(b) and b[i + 1] == 0xFF:
                 i += 1
+            if i + 1 >= len(b):
+                break  # payload ends inside a 0xFF fill run
             marker = b[i + 1]
             if marker == 0x01 or 0xD0 <= marker <= 0xD9:
                 i += 2  # standalone marker: no length field
@@ -171,9 +173,17 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, shas, sizes = [], [], []
+            zero = np.zeros(8, dtype=np.float32)
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 p = bytes(payload) if payload is not None else b""
-                feats.append(_decode_stub(p, kind))
+                try:
+                    feats.append(_decode_stub(p, kind))
+                except Exception:
+                    # one undecodable payload degrades one ROW to the
+                    # zero feature (cosine_sim defines its sim as 0,
+                    # so it never near-dups) instead of failing the
+                    # whole Arrow batch
+                    feats.append(zero)
                 shas.append(hashlib.sha256(p).hexdigest())
                 sizes.append(len(p))
             yield pd.DataFrame(

@@ -1181,10 +1181,10 @@ WITH emb2 AS ({_SQL_PLANTED_EMB}),
 e AS (SELECT vec_id, embedding AS v FROM emb2),
 scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-    CAST(round(1000000.0 *
+    CAST(round(1000000.0 * coalesce(
       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE))
-      / (sqrt(list_sum(list_transform(a.v, x -> x::DOUBLE * x::DOUBLE)))
-       * sqrt(list_sum(list_transform(b.v, x -> x::DOUBLE * x::DOUBLE))))) AS BIGINT) AS msim
+      / nullif(sqrt(list_sum(list_transform(a.v, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(b.v, x -> x::DOUBLE * x::DOUBLE))), 0.0), 0.0)) AS BIGINT) AS msim
   FROM e a, e b WHERE a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, msim FROM scored WHERE msim >= 990000
 """
@@ -1196,10 +1196,10 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id,
-    CAST(round(1000000.0 *
+    CAST(round(1000000.0 * coalesce(
       list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
-      / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
-       * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))))) AS BIGINT) AS msim
+      / nullif(sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))), 0.0), 0.0)) AS BIGINT) AS msim
   FROM q, c WHERE query_id != neighbor_id),
 ranked AS (SELECT query_id, neighbor_id, msim,
              row_number() OVER (PARTITION BY query_id
@@ -1231,10 +1231,10 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_MICRO_COS = """CAST(round(1000000.0 *
+_SQL_MICRO_COS = """CAST(round(1000000.0 * coalesce(
       list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
-      / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
-       * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))) AS BIGINT)"""
+      / nullif(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))), 0.0), 0.0)) AS BIGINT)"""
 
 SQL_IVF_ANN_TOPK = f"""
 WITH cents AS (
@@ -2038,10 +2038,10 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id,
-    CAST(round(1000000.0 *
+    CAST(round(1000000.0 * coalesce(
       list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
-      / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
-       * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))))) AS BIGINT) AS msim
+      / nullif(sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))), 0.0), 0.0)) AS BIGINT) AS msim
   FROM q, c WHERE query_id != neighbor_id),
 ranked AS (SELECT query_id, neighbor_id, msim,
              row_number() OVER (PARTITION BY query_id
@@ -2609,11 +2609,13 @@ raw AS (
               || k || '?b=2&a=1' END AS url
   FROM pg),
 parts AS (
-  SELECT doc_id,
-         regexp_replace(regexp_replace(url, '#.*', ''), '^[A-Za-z]+://', '') AS a
+  -- scheme-relative '//host' strips like 'scheme://host' (engine rule)
+  SELECT doc_id, regexp_replace(url, '#.*', '') AS nf,
+         regexp_replace(regexp_replace(url, '#.*', ''),
+                        '^([A-Za-z][A-Za-z0-9+.-]*:)?//', '') AS a
   FROM raw),
 fields AS (
-  SELECT doc_id,
+  SELECT doc_id, nf,
     regexp_replace(regexp_replace(
         lower(regexp_extract(a, '^([^/?]+)', 1)), ':(80|443)$', ''),
         '^(www\.)+', '') AS host,
@@ -2623,12 +2625,15 @@ fields AS (
       AS ps
   FROM parts),
 canon AS (
+  -- host-less urls fall back to their raw fragment-stripped string
+  -- (empty -> NULL, never grouped) — mirrors curation.canonical_url
   SELECT doc_id,
-    'https://' || host || path ||
-    CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END
-      AS url_canon
+    CASE WHEN host = '' THEN nullif(nf, '')
+         ELSE 'https://' || host || path ||
+      CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END
+    END AS url_canon
   FROM fields)
-SELECT doc_id, url_canon FROM canon
+SELECT doc_id, url_canon FROM canon WHERE url_canon IS NOT NULL
 """
 
 SQL_URL_DUP_GROUPS = f"""

@@ -249,3 +249,60 @@ def test_ivf_topk_recall_and_candidate_fraction(spark):
     iv = ivf_topk(emb, qs, n_cells=16, nprobe=4, k=10).toPandas()
     rec = _recall_at_10(bf, iv)
     assert rec >= 0.30, f"IVF recall@10 collapsed: {rec}"
+
+
+def test_zero_vector_never_kills_the_job(spark):
+    """A zero-norm embedding has undefined cosine; the engine defines
+    it as 0 (nullif/coalesce) instead of dying with DIVIDE_BY_ZERO
+    under Spark 4's default ANSI mode — one degenerate media/embedding
+    row must not fail a corpus-scale ANN job.  Both the transform path
+    (ivf_assign) and the matmul twin must agree on degenerate input."""
+    from destor_spark.operators.ann import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_assign_matmul,
+        ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),  # degenerate
+            (3, [0.9, 0.1]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    top = brute_force_topk(emb, emb, k=2).toPandas()
+    assert len(top) == 8  # 4 queries x k=2, no error
+    # the zero vector scores msim 0 against everything
+    z = top[top["query_id"] == 2]
+    assert (z["msim"] == 0).all()
+    cents = ivf_centroids(emb, n_cells=2)
+    a1 = ivf_assign(emb, cents, 1).toPandas().sort_values("vec_id")
+    a2 = (
+        ivf_assign_matmul(emb, cents.toPandas(), 1)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert a1["cell"].tolist() == a2["cell"].tolist()
+
+
+def test_exclude_self_switch(spark):
+    """exclude_self=False keeps a corpus row whose id coincides with a
+    query id from a different namespace (the lookup-batch shape)."""
+    from destor_spark.operators.ann import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.1])], "vec_id long, embedding array<double>"
+    )
+    dropped = brute_force_topk(corpus, queries, k=2).toPandas()
+    kept = brute_force_topk(
+        corpus, queries, k=2, exclude_self=False
+    ).toPandas()
+    assert 7 not in dropped["neighbor_id"].tolist()
+    assert kept["neighbor_id"].tolist()[0] == 7  # true nearest neighbor

@@ -376,3 +376,40 @@ def test_semantic_dup_keep_first(spark):
     assert not out[2]["is_dup"]
     assert out[3]["is_dup"] and out[3]["dup_of"] == 2
     assert not out[4]["is_dup"] and out[4]["dup_of"] == -1
+
+
+def test_degenerate_urls_never_merge(spark):
+    """Unparseable / empty / protocol-relative urls must not collapse
+    into one dup group (pre-r5 they all canonicalized to the literal
+    'https://' and were removed as duplicates of each other)."""
+    rows = [
+        (1, "//cdn.example.com/a.js"),
+        (2, ""),
+        (3, "//other.org/x"),
+        (4, "/relative/path"),
+        (5, None),
+        (6, "//cdn.example.com/a.js"),  # true dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = url_dup_groups(df).collect()
+    assert len(got) == 1
+    assert got[0]["url_canon"] == "https://cdn.example.com/a.js"
+    assert got[0]["n_docs"] == 2 and got[0]["rep_doc_id"] == 1
+
+
+def test_canonical_url_degenerate_cases(spark):
+    from destor_spark.operators.curation import canonical_url
+
+    rows = [
+        ("//host.com/p", "https://host.com/p"),  # protocol-relative parses
+        ("/only/path", "/only/path"),            # host-less -> raw
+        ("?q=1", "?q=1"),
+        ("", None),                              # empty -> NULL
+    ]
+    for raw, want in rows:
+        got = (
+            spark.range(1)
+            .select(canonical_url(F.lit(raw)).alias("c"))
+            .collect()[0]["c"]
+        )
+        assert got == want, (raw, got)

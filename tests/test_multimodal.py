@@ -98,7 +98,7 @@ def test_media_metadata_through_spark(spark):
 def test_real_payload_feature_contract(spark):
     """extract_features over a REAL image payload: sha256 of the actual
     bytes, stable feature dim — the contract a codec-backed decode must
-    preserve (the stub branch is documented; HAVE_PIL flips it)."""
+    preserve (the real-decode hook is decode_media, never auto-wired)."""
     b = (MEDIA_FIX / "tiny.png").read_bytes()
     df = spark.createDataFrame(
         [(1, "image", b, "image/png", 2, 3, None)], MEDIA_SCHEMA
@@ -210,3 +210,12 @@ def test_exact_media_dedup_matches_duckdb(spark):
     )
     assert len(sp) == 12
     pd.testing.assert_frame_equal(sp[du.columns.tolist()], du, check_dtype=False)
+
+
+def test_jpeg_trailing_fill_run():
+    """A JPEG payload ending inside a 0xFF fill run must sniff as
+    image/jpeg (valid SOI prefix), not raise IndexError."""
+    from destor_spark.operators.multimodal import sniff_media
+
+    assert sniff_media(b"\xff\xd8\xff\xff") == ("image/jpeg", None, None, None)
+    assert sniff_media(b"\xff\xd8\xff") == ("image/jpeg", None, None, None)
