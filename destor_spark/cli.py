@@ -1,15 +1,22 @@
 """spark-submit entrypoint.
 
 Cluster usage (north rule: spark-submit --py-files at N and 4N
-executors):
+executors; spark-submit takes an application FILE — package.sh copies
+this module to dist/cli_main.py for exactly that):
 
-    zip -r destor_spark.zip destor_spark
-    spark-submit --py-files destor_spark.zip \
+    ./package.sh
+    spark-submit --master <cluster> \
+        --py-files dist/destor_spark.zip \
         --conf spark.sql.shuffle.partitions=<2-3x total cores> \
-        -m destor_spark.cli \
-        --input  <parquet/iceberg path of web_pages> \
+        dist/cli_main.py \
+        --input  <parquet path of web_pages> \
         --output <checkpoint + assignment dir> \
         --run-id r1 [--no-simhash] [--substring]
+
+    # Iceberg input: add the runtime jar + catalog confs (README
+    # "catalog" section) and pass --input-table <catalog.db.table>
+    # instead of --input — the current-snapshot read goes through the
+    # catalog, never a raw directory scan of data files.
 
 Local sandbox equivalent:
 
@@ -31,7 +38,19 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="destor_spark dedup pipeline")
-    p.add_argument("--input", required=True, help="web_pages parquet path")
+    p.add_argument(
+        "--input",
+        default=None,
+        help="web_pages parquet path (for Iceberg use --input-table)",
+    )
+    p.add_argument(
+        "--input-table",
+        default=None,
+        help="catalog table name (e.g. dedup.db.web_pages) read via "
+        "spark.read.table — the correct current-snapshot path for "
+        "Iceberg; a raw --input directory scan of an Iceberg location "
+        "would also read superseded-snapshot files",
+    )
     p.add_argument("--output", required=True, help="checkpoint/output dir")
     p.add_argument("--run-id", default="r1")
     p.add_argument("--master", default=None, help="override spark master")
@@ -45,6 +64,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rows", type=int, default=8)
     p.add_argument("--tau", type=float, default=0.71)
     args = p.parse_args(argv)
+    if bool(args.input) == bool(args.input_table):
+        p.error("exactly one of --input / --input-table is required")
 
     from destor_spark.config import DedupConfig
     from destor_spark.plans.pipeline import run_checkpointed
@@ -62,7 +83,11 @@ def main(argv: list[str] | None = None) -> int:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
-    pages = spark.read.parquet(args.input)
+    pages = (
+        spark.read.table(args.input_table)
+        if args.input_table
+        else spark.read.parquet(args.input)
+    )
     t0 = time.time()
     assign = run_checkpointed(
         spark,

@@ -22,7 +22,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 EXTRACTOR_VERSION = 1
-GENERIC_EXTRACTOR_VERSION = 2
+GENERIC_EXTRACTOR_VERSION = 3  # v3: <script/> et al. skip like open tags
 
 _OPEN = b"<!--TEXT-->"
 _CLOSE = b"<!--/TEXT-->"
@@ -98,7 +98,14 @@ class _TextCollector(HTMLParser):
             self.parts.append("\n")
 
     def handle_startendtag(self, tag, attrs):
-        if tag in _BLOCK_TAGS:
+        if tag in _SKIP_TAGS:
+            # HTML5 ignores the self-closing slash on non-void
+            # elements: a browser treats <script/> as an OPEN script
+            # tag and renders nothing until </script> — without this,
+            # XHTML-style <script/> leaked the script source into the
+            # extracted text (v3)
+            self._skip += 1
+        elif tag in _BLOCK_TAGS:
             self.parts.append("\n")
 
     def handle_data(self, data):

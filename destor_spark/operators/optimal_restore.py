@@ -27,10 +27,13 @@ Spark restatement (same shape as restore_sim.bounded_cfl): the
 reference restores one stream sequentially; the document store has
 many independent streams, so `groupBy(stream).applyInPandas` runs each
 stream's collapsed access sequence through the scalar cache sim in seq
-order — parallelism unit = stream count, state = O(cache + window)
-per task regardless of stream length.  Not SQL-expressible (order-
-dependent eviction recurrence), so the gate is pytest, like the
-stateful streaming operators.
+order — parallelism unit = stream count.  SIM state is
+O(cache + window) per task, but applyInPandas first materializes the
+whole stream's reference rows in the task, so the per-task bound is
+O(longest stream's references): shard streams at per-backup-job
+granularity (destor's natural restore unit), not one giant stream.
+Not SQL-expressible (order-dependent eviction recurrence), so the
+gate is pytest, like the stateful streaming operators.
 """
 
 from __future__ import annotations
@@ -88,6 +91,11 @@ def simulate_optimal_fetches(
         q = future[cid]
         q.popleft()
         buffered -= 1
+        if not q:
+            # drop exhausted entries eagerly: without this the dict
+            # keeps one empty deque per distinct container ever seen,
+            # growing O(stream cardinality) instead of O(cache+window)
+            del future[cid]
         if cid in cache:
             cache.move_to_end(cid, last=False)  # hit -> MRU head
             continue

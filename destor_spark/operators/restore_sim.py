@@ -11,8 +11,11 @@ simulation distributes ACROSS streams and stays sequential WITHIN one —
 `groupBy(stream).applyInPandas` gives each stream's reference sequence
 to one task in seq order.  At 100 TB the parallelism unit is the
 stream/shard count (same unit destor scales by when restoring multiple
-backups); per-stream state is one OrderedDict bounded at cache_size —
-O(cache_size) memory per task regardless of stream length.
+backups).  Memory per task: the LRU STATE is O(cache_size), but
+applyInPandas materializes the whole stream's reference rows in the
+task first — the per-task bound is O(longest stream's references),
+so shard streams to per-backup-job granularity (destor's natural
+unit, ~10^5-10^6 container refs per job), not one giant stream.
 
 Not SQL-expressible (the LRU recurrence is order-dependent with
 eviction), so the gate is a pytest parity check against an independent

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT_RE = r"\s+"  # mirrored by oracle.tokenize
+# Java \s is ASCII-only — oracle.tokenize mirrors this with
+# re.compile(r"\s+", re.ASCII); a Python Unicode \s would also split
+# on \xa0/U+2000-range spaces, which the extractor deliberately
+# preserves as rendered characters
+TOKEN_SPLIT_RE = r"\s+"
 
 
 def tokens_col(text: Column) -> Column:

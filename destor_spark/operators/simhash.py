@@ -73,7 +73,17 @@ def auto_index_config(cfg: DedupConfig, n_live: int) -> DedupConfig:
     width = cfg.simhash_bits // cfg.simhash_blocks
     if n_live <= PIGEONHOLE_MAX_OCCUPANCY * (1 << width):
         return cfg
-    return dataclasses.replace(cfg, simhash_combo_blocks=AUTO_COMBO_BLOCKS)
+    # the combo index needs radius < blocks; for an unusual config
+    # with radius >= AUTO_COMBO_BLOCKS, widen the block count to the
+    # smallest valid power-of-two-ish choice instead of crashing the
+    # run mid-pipeline on dataclasses.replace re-validation (any
+    # blocks in (radius, simhash_bits] keeps the filter complete)
+    combo = AUTO_COMBO_BLOCKS
+    while combo <= cfg.simhash_radius:
+        combo *= 2
+    if combo > cfg.simhash_bits:
+        return cfg  # no valid combo split: stay on pigeonhole
+    return dataclasses.replace(cfg, simhash_combo_blocks=combo)
 
 
 def combo_sets(cfg: DedupConfig) -> list[tuple[int, ...]]:

@@ -28,7 +28,13 @@ from destor_spark import hashing as H
 from destor_spark.config import DedupConfig
 from destor_spark.operators.minhash import doc_signature
 
-_WS = re.compile(r"\s+")
+# ASCII \s ONLY: the engine tokenizes with Java \s (F.split) and the
+# ASCII-whitespace Arrow kernel (hashing.tokenize_xxh64), and the
+# extractor deliberately PRESERVES \xa0/Unicode spaces as rendered
+# characters — a Python Unicode \s here would split on them and
+# silently desync oracle signatures from the engine's on any page
+# containing &nbsp;
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 def tokenize(text: str | None) -> list[str]:

@@ -62,6 +62,32 @@ def _submitted_master() -> str | None:
         return None
 
 
+def _submitted_conf(key: str) -> str | None:
+    """A --conf the LAUNCHER submitted (spark-submit command line or
+    spark-defaults.conf), else None.  Same gateway gating as
+    _submitted_master: only trust the conf when spark-submit started
+    the JVM — a bare-python gateway carries no user intent.
+
+    build_session resolves every tuning knob as
+        explicit argument > launcher --conf > SPARK_GRAFT_* env >
+        derived default
+    so the documented cluster command (`spark-submit --conf
+    spark.sql.shuffle.partitions=<2-3x cluster cores> ...`) is never
+    silently clobbered by a default derived from the DRIVER host's
+    core count (the same launcher-hijack class as the --master bug
+    fixed in resolve_master)."""
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        return None
+    try:
+        from pyspark import SparkConf
+        from pyspark.context import SparkContext
+
+        SparkContext._ensure_initialized()
+        return SparkConf().get(key, None)
+    except Exception:
+        return None
+
+
 def resolve_master(arg: str | None) -> str:
     """Master resolution order: explicit argument, then the launcher's
     `--master` (spark-submit), then SPARK_GRAFT_MASTER, then local[*].
@@ -96,9 +122,9 @@ def build_session(
     master = resolve_master(master)
     cores = os.cpu_count() or 8
     if shuffle_partitions is None:
-        shuffle_partitions = int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cores))
-        )
+        sub = _submitted_conf("spark.sql.shuffle.partitions")
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        shuffle_partitions = int(sub or env or cores)
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     # Pin the heap (Xms=Xmx) and use the throughput collector: G1's
     # region uncommit + the default growable heap madvise/commit pages
@@ -114,7 +140,8 @@ def build_session(
     # billing 43% of executor run time in the allocation-heavy
     # tokenize/signature stages.  Match GC parallelism to the cores the
     # session actually uses.
-    m = re.fullmatch(r"local\[(\d+|\*)\]", master or "")
+    # accept local[N], local[*] and local[N,maxFailures]
+    m = re.fullmatch(r"local\[(\d+|\*)(?:,\d+)?\]", master or "")
     n_workers = (
         cores if (not m or m.group(1) == "*") else max(2, int(m.group(1)))
     )
@@ -150,7 +177,10 @@ def build_session(
         # initial partitions completes with sub-second pauses.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get(
+            _submitted_conf(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+            )
+            or os.environ.get(
                 "SPARK_GRAFT_INITIAL_PARTITIONS",
                 str(max(64, 8 * n_workers)),
             ),
@@ -159,15 +189,31 @@ def build_session(
         # small local files must still split across all cores (the
         # Arrow signature UDF is CPU-bound); on a real cluster the
         # Iceberg table brings many files and this only caps stragglers
-        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            _submitted_conf("spark.sql.files.maxPartitionBytes")
+            or str(8 * 1024 * 1024),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            _submitted_conf("spark.sql.files.openCostInBytes")
+            or str(1 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            _submitted_conf("spark.sql.execution.arrow.maxRecordsPerBatch")
+            or "4096",
+        )
         .config("spark.driver.memory", driver_mem)
         .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.executor.extraJavaOptions", executor_opts)
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            _submitted_conf("spark.sql.autoBroadcastJoinThreshold")
+            or str(64 * 1024 * 1024),
+        )
     )
     # Event-log instrumentation for perf_eventlog.py attribution runs
     # (opt-in: per-task metrics cost a little driver time).  Honored

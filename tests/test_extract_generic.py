@@ -33,8 +33,10 @@ PAGES = sorted(p.name for p in FIXTURES.glob("*.html"))
 
 
 def test_version_matches_goldens():
-    """Goldens were audited at v2: regenerate + re-audit on any bump."""
-    assert GENERIC_EXTRACTOR_VERSION == 2
+    """Goldens were audited at v2 and re-checked at v3 (the v3 change
+    — self-closed skip tags enter skip mode — does not alter any
+    committed fixture's output): regenerate + re-audit on any bump."""
+    assert GENERIC_EXTRACTOR_VERSION == 3
     assert len(PAGES) >= 4
 
 
@@ -112,3 +114,18 @@ def test_plain_text_roundtrip_property(t):
     want = re.sub(r" {2,}", " ", re.sub(r"[ \t\r\n\f\v]+", " ", t)).strip()
     # block boundaries strip edge whitespace; interior survives
     assert got == want
+
+
+def test_self_closed_script_never_leaks(spark=None):
+    """HTML5 ignores the self-closing slash on non-void elements: a
+    browser treats <script/> as an OPEN script tag, so its source
+    must contribute NO text (v3 fix; pre-v3 it leaked)."""
+    from destor_spark.operators.extract import extract_generic_html
+
+    got = extract_generic_html(b"<p>real</p><script/>var x=1;</script><p>more</p>")
+    assert got == "real\nmore"
+    got2 = extract_generic_html(b"<p>a</p><style/>.x{color:red}</style>")
+    assert got2 == "a"
+    # unclosed self-closed script skips the rest, like a browser
+    got3 = extract_generic_html(b"<p>a</p><script/>trailing junk")
+    assert got3 == "a"

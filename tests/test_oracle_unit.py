@@ -95,3 +95,21 @@ def test_oracle_bucket_pairs_self_pair_guard():
         {(0, 1): ["u/a", "u/a", "u/b", "u/c"]}, docs, cap=2
     )
     assert ("u/a", "u/a") not in got
+
+
+def test_tokenize_ascii_whitespace_only(spark):
+    """Oracle tokenization must match the engine's Java \\s (ASCII):
+    NBSP and Unicode spaces are rendered characters the extractor
+    preserves — they must NOT split tokens in the oracle either."""
+    from pyspark.sql import functions as F
+
+    import destor_spark.oracle as O
+    from destor_spark.operators.shingles import tokens_col
+
+    for s in ["foo\xa0bar", "a b", "x y", "p \t\n q"]:
+        engine = (
+            spark.createDataFrame([(s,)], "text string")
+            .select(tokens_col(F.col("text")).alias("t"))
+            .collect()[0]["t"]
+        )
+        assert O.tokenize(s) == engine, s

@@ -88,3 +88,27 @@ def test_auto_index_config_crossover():
     assert auto_index_config(explicit, 10).simhash_combo_blocks == 8
     # original cfg is never mutated
     assert cfg.simhash_combo_blocks == 0
+
+
+def test_auto_index_config_wide_radius_no_crash():
+    """radius >= AUTO_COMBO_BLOCKS must widen the combo block count
+    (or stay pigeonhole), never crash on dataclasses.replace
+    re-validation mid-pipeline."""
+    from destor_spark.config import DedupConfig
+    from destor_spark.operators.simhash import auto_index_config
+
+    cfg = DedupConfig(simhash_blocks=16, simhash_radius=8)
+    out = auto_index_config(cfg, n_live=10_000_000)
+    assert out.simhash_combo_blocks == 0 or (
+        out.simhash_combo_blocks > out.simhash_radius
+    )
+    # extreme radius: any auto choice must still satisfy
+    # radius < combo_blocks <= bits (or stay pigeonhole)
+    cfg2 = DedupConfig(
+        simhash_bits=16, simhash_blocks=16, simhash_radius=15,
+        simhash_combo_blocks=0,
+    )
+    out2 = auto_index_config(cfg2, n_live=10_000_000)
+    assert out2.simhash_combo_blocks == 0 or (
+        out2.simhash_radius < out2.simhash_combo_blocks <= out2.simhash_bits
+    )
