@@ -18,9 +18,11 @@ itself.  Same protocol as perf_scaling.py, whose machinery this reuses.
 
 --scaling mode (north-rule evidence): run the SAME dedup job at
 local[8] and local[32] on the SAME synthesized corpus (two fresh JVMs,
-sequentially), report docs/sec at both + scaling efficiency
-(eff = (T8/T32)/4), and append the numbers to BENCH.md.  This is the
-sandbox stand-in for N vs 4N executors.
+sequentially) and PRINT one JSON line with docs/sec at both + scaling
+efficiency (eff = (T8/T32)/4) — nothing is written to disk; paste the
+line into BENCH.md (the curated records live there and in
+scaling_pairs_r5.jsonl).  This is the sandbox stand-in for N vs 4N
+executors.
 """
 
 from __future__ import annotations
@@ -141,7 +143,14 @@ def run_dedup_pipeline(
         pages, DedupConfig(), use_simhash=True, use_substring=use_substring
     )
     n = res.assignments.count()
-    return n, time.time() - t0
+    wall = time.time() - t0
+    # drop this run's stage-barrier parquet immediately: the default
+    # bench runs the pipeline 6x (3 repeats x 2 variants) and leaving
+    # every run's signatures/edges/assignments barriers on disk until
+    # interpreter exit costs GBs at sf0.1 (cleanup is outside the
+    # timed window; the assignments count above fully consumed them)
+    res.cleanup()
+    return n, wall
 
 
 def bench_simhash_passes(spark, pages_path: str) -> dict[str, float]:

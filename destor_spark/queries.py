@@ -680,14 +680,25 @@ SQL_SIMHASH = (
 )
 
 
-def q_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shared token-span pairs (7-token contiguous runs) — the
-    SQL-checkable twin of the anchored-gram substring pass
-    (operators/substring.py; destor byte-precision dedup)."""
+def _capped_token_grams(
+    spark: SparkSession, sf_dir: str, tag: str, barrier_docs: bool = False
+):
+    """(docs, grams): the 7-token contiguous-gram relation with DF_CAP
+    hot-gram removal — ONE definition shared by q_substring_span_pairs
+    and q_sa_longest_span (the gram width and the cap predicate are
+    oracle-parity-critical, so they must not fork between the two).
+    `grams` is parquet-barriered: it feeds both self-join sides plus
+    the hot aggregate, and without the barrier the scan+tokenize+
+    explode lineage re-runs once per consumer subtree (the same fix
+    as ngram_e/cont_e/champ_e).  barrier_docs additionally barriers
+    the tokenized doc relation for callers that re-join it per side.
+    """
     W = 7
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("w")
     )
+    if barrier_docs:
+        d = _barrier(d, f"{tag}_docs")
     g0 = (
         d.filter(F.size("w") >= W)
         .select(
@@ -710,7 +721,15 @@ def q_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > DF_CAP)
         .select("gram")
     )
-    g = g0.join(F.broadcast(hot), "gram", "left_anti")
+    g = _barrier(g0.join(F.broadcast(hot), "gram", "left_anti"), tag)
+    return d, g
+
+
+def q_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared token-span pairs (7-token contiguous runs) — the
+    SQL-checkable twin of the anchored-gram substring pass
+    (operators/substring.py; destor byte-precision dedup)."""
+    _d, g = _capped_token_grams(spark, sf_dir, "span_g")
     return (
         g.alias("a")
         .join(g.alias("b"), "gram")
@@ -770,31 +789,7 @@ def q_sa_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable by construction).  Char-level production form with span
     offsets: operators/substring.longest_span_pairs.
     """
-    W = 7
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.col("text")).alias("w")
-    )
-    g0 = (
-        d.filter(F.size("w") >= W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("w") - F.lit(W - 1)),
-                        lambda i: F.array_join(F.slice(F.col("w"), i, W), " "),
-                    )
-                )
-            ).alias("gram"),
-        )
-    )
-    hot = (
-        g0.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > DF_CAP)
-        .select("gram")
-    )
-    g = g0.join(F.broadcast(hot), "gram", "left_anti")
+    d, g = _capped_token_grams(spark, sf_dir, "sa_g", barrier_docs=True)
     cand = (
         g.alias("a")
         .join(g.alias("b"), "gram")
@@ -1022,7 +1017,7 @@ WITH t AS (SELECT doc_id, text,
 SELECT doc_id,
   length(text) AS n_chars2,
   len(w) AS n_tokens,
-  CAST(round(1000000.0 * list_sum(list_transform(w, x -> length(x)))
+  CAST(round(1000000.0 * coalesce(list_sum(list_transform(w, x -> length(x))), 0)
         / greatest(len(w), 1)) AS BIGINT) AS avg_token_len_ppm,
   CAST(round(1000000.0 * len(list_filter(w, x -> x IN ({_sql_inlist('en')})))
         / greatest(len(w), 1)) AS BIGINT) AS stopword_ppm,
@@ -1370,7 +1365,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wherever the local predicate fires, then a running sum labels runs."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ntz -> ltz -> long; the fixed tz offset cancels in the difference
+    # ntz -> ltz -> long.  The offset only cancels in the difference
+    # when it is FIXED across the pair — true because build_session
+    # pins spark.sql.session.timeZone=UTC (a DST-zone session would
+    # shift gaps straddling a transition by ±3600 s vs the oracle's
+    # naive epoch(ts))
     ep = F.col("ts").cast("timestamp_ltz").cast("long")
     gap = ep - F.lag(ep).over(w)
     marked = e.select(
@@ -2675,10 +2674,12 @@ def q_corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_CURATION_DECISIONS = f"""
 WITH exact_rm AS (
+  -- text IS NOT NULL mirrors the engine's NULL-key exclusion
+  -- (_keep_first_removals: a NULL key is no basis for dedup)
   SELECT doc_id FROM (
     SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
                                       ORDER BY doc_id) AS r
-    FROM documents) WHERE r > 1),
+    FROM documents WHERE text IS NOT NULL) WHERE r > 1),
 url_rm AS (
   SELECT doc_id FROM (
     SELECT doc_id, row_number() OVER (PARTITION BY url_canon
@@ -2756,7 +2757,13 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source audit: quota vs realized ppm.  One scan + one uniform
     hash agg on source; the sample decision is map-side."""
     d = _t(spark, sf_dir, "documents")
-    src_ord = F.regexp_replace("source", "[^0-9]", "").cast("bigint")
+    # try_cast + coalesce(0): a digit-free source name must weight as
+    # ordinal 0, not kill the job (ANSI CAST('' AS BIGINT) throws) —
+    # the SQL twin applies the identical TRY_CAST/coalesce rule
+    src_ord = F.coalesce(
+        F.regexp_replace("source", "[^0-9]", "").try_cast("bigint"),
+        F.lit(0),
+    )
     rate = (F.lit(200_000) + F.lit(70_000) * (src_ord % 10)).alias("rate_ppm")
     hv = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
@@ -2787,12 +2794,12 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SOURCE_MIXTURE = """
 WITH f AS (
   SELECT source,
-         200000 + 70000 * (CAST(regexp_replace(source, '[^0-9]', '', 'g')
-                                AS BIGINT) % 10) AS rate_ppm,
+         200000 + 70000 * (coalesce(TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g')
+                                AS BIGINT), 0) % 10) AS rate_ppm,
          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                    % 1000000
-              < 200000 + 70000 * (CAST(regexp_replace(source, '[^0-9]', '', 'g')
-                                       AS BIGINT) % 10)
+              < 200000 + 70000 * (coalesce(TRY_CAST(regexp_replace(source, '[^0-9]', '', 'g')
+                                       AS BIGINT), 0) % 10)
               THEN 1 ELSE 0 END AS keep
   FROM documents)
 SELECT source, rate_ppm, count(*) AS n_docs,

@@ -163,6 +163,15 @@ def build_session(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # naive-timestamp arithmetic (sessionize's ntz->ltz->epoch
+        # cast) is only host-independent when the session zone is
+        # fixed and DST-free; a host-default DST zone would shift
+        # gaps straddling a transition by +-3600 s vs the DuckDB
+        # oracle's naive epoch()
+        .config(
+            "spark.sql.session.timeZone",
+            _submitted_conf("spark.sql.session.timeZone") or "UTC",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE coalesces DOWN from the initial partition count but can
         # never grow a shuffle ABOVE spark.sql.shuffle.partitions, so

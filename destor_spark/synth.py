@@ -207,6 +207,17 @@ def make_corpus(seed: int, n_docs: int) -> tuple[pd.DataFrame, pd.DataFrame]:
     while len(texts) < n_docs:
         emit(" ".join(_doc_tokens(rng, vocab)), "filler", 0)
 
+    if len(texts) > n_docs:
+        # fixed per-class minimums (giant cluster >= 10 docs,
+        # empty/invalid >= 1) can exceed a TINY n_docs; the documented
+        # size contract (exactly n_docs rows) wins — trim the tail
+        # (latest-emitted classes) deterministically.  No effect at
+        # n_docs >= ~40 where the percentage budgets leave filler room.
+        texts = texts[:n_docs]
+        classes = classes[:n_docs]
+        groups = groups[:n_docs]
+        invalid_flags = invalid_flags[:n_docs]
+
     n = len(texts)
     order = rng.permutation(n)  # shuffle so groups aren't contiguous
     ts_offsets = rng.permutation(n).astype("timedelta64[s]")
@@ -251,9 +262,18 @@ def ensure_corpus(base_dir: str, seed: int, n_docs: int) -> tuple[str, str]:
         # parsed by ~250 tasks per scan, which made the first pipeline
         # stage scale 30x for 10x data.  Cap at ~128 groups per file
         # (rg computed above — part of the cache key).
-        pages.to_parquet(pages_path, index=False, row_group_size=rg)
-        truth.to_parquet(truth_path, index=False, row_group_size=rg)
+        # write-to-temp + atomic rename: a killed run must never leave
+        # a truncated file at the final path — the exists() cache check
+        # would trust it forever after
+        _atomic_to_parquet(pages, pages_path, rg)
+        _atomic_to_parquet(truth, truth_path, rg)
     return pages_path, truth_path
+
+
+def _atomic_to_parquet(df, path: str, rg: int) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    df.to_parquet(tmp, index=False, row_group_size=rg)
+    os.replace(tmp, path)
 
 
 def _container_payload(i: int, body: bytes) -> tuple[str, bytes]:
@@ -347,7 +367,5 @@ def ensure_media_corpus(base_dir: str, seed: int, n_rows: int) -> str:
     rg = max(512, n_rows // 64)  # bounded footer, splittable file
     path = os.path.join(base_dir, f"media_s{seed}_n{n_rows}_rg{rg}.parquet")
     if not os.path.exists(path):
-        make_media_corpus(seed, n_rows).to_parquet(
-            path, index=False, row_group_size=rg
-        )
+        _atomic_to_parquet(make_media_corpus(seed, n_rows), path, rg)
     return path
