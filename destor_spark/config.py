@@ -50,9 +50,11 @@ class DedupConfig:
     lsh_two_phase: bool = False    # True: size-preagg + semi-join path that
                                    # never holds a bucket in one task (extreme
                                    # skew regime); same pair semantics
-    # --- canonical selection (destor: first-copy-wins,
-    #     kvstore_htable.c:44-53; we pin determinism to (warc_ts, url)) ---
-    order_cols: tuple = ("warc_ts", "url")
+    # canonical selection is FIXED to (warc_ts, url) ordering (destor:
+    # first-copy-wins, kvstore_htable.c:44-53) — it is hardcoded at
+    # every ordering site (exact.py, lsh.py, assign.py, oracle.py), so
+    # it is deliberately NOT a config knob (a dead order_cols field
+    # previously suggested otherwise and silently did nothing)
     # --- clustering ---
     max_cc_rounds: int = 50
 
@@ -73,6 +75,12 @@ class DedupConfig:
             )
         if self.simhash_radius >= self.simhash_blocks:
             raise ValueError("pigeonhole needs radius < blocks")
+        if self.simhash_bits % self.simhash_blocks:
+            # same divisibility rule the combo path already enforces:
+            # a non-dividing block count silently truncates width
+            # (blocks=5 -> top 4 bits never bucketed; blocks=65 ->
+            # width 0, the whole corpus in one bucket per block)
+            raise ValueError("simhash_blocks must divide simhash_bits")
         if self.simhash_combo_blocks:
             if self.simhash_bits % self.simhash_combo_blocks:
                 raise ValueError("combo blocks must divide simhash_bits")

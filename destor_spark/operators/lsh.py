@@ -62,8 +62,9 @@ def bucket_pairs(
 
     ex: (url, warc_ts, band, key) membership relation.
     Returns (pairs(url_a, url_b), bucket_stats(band, key, size, strategy));
-    pairs are distinct across buckets, ordered so that
-    (warc_ts_a, url_a) < (warc_ts_b, url_b).
+    pairs are distinct across buckets, url-normalized (url_a < url_b
+    lexicographic — see _norm_pair; in-bucket ordering and star-head
+    selection remain by (warc_ts, url), first-copy-wins).
 
     Two physical strategies with IDENTICAL pair semantics (the pandas
     oracle mirrors the semantics, not the physical shape):
@@ -117,6 +118,23 @@ def bucket_stats_only(ex: DataFrame, cfg: DedupConfig) -> DataFrame:
         .filter(F.col("size") >= 2)
     )
     return sizes.withColumn("strategy", _strategy(F.col("size"), cfg))
+
+
+# Final pair orientation is URL-lexicographic (url_a < url_b),
+# applied before distinct: per-bucket ordering is by (warc_ts, url),
+# so a re-crawled url (two warc_ts values) could otherwise emit the
+# SAME unordered pair in both orientations from different buckets —
+# mirrored rows that distinct() cannot collapse (double verify work,
+# inflated pair counts).  Star HEAD selection stays (warc_ts, url) —
+# the oldest copy anchors the star (destor first-copy-wins) — only
+# the emitted pair's column order is normalized.
+def _norm_pair():
+    # built lazily: F.least/greatest need an active SparkContext, so a
+    # module-level tuple would break plain `import destor_spark...`
+    return (
+        F.least("url_a", "url_b").alias("url_a"),
+        F.greatest("url_a", "url_b").alias("url_b"),
+    )
 
 
 def _combos(ms):
@@ -177,6 +195,7 @@ def _bucket_pairs_single_phase(
         # emit the degenerate self-pair (X, X) — the member structs
         # differ on warc_ts, so i<j combination does not exclude it
         .filter(F.col("url_a") != F.col("url_b"))
+        .select(*_norm_pair())
         .distinct()
     )
     return pairs, bucket_stats
@@ -225,7 +244,9 @@ def _bucket_pairs_two_phase(
         )
     )
 
-    pairs = small_pairs.unionByName(star_pairs).distinct()
+    pairs = (
+        small_pairs.unionByName(star_pairs).select(*_norm_pair()).distinct()
+    )
     return pairs, bucket_stats
 
 

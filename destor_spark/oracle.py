@@ -83,13 +83,25 @@ class _DSU:
             self.parent.setdefault(lo, lo)
 
 
+def _order_map(urls, tss) -> dict:
+    """url -> its MINIMUM (warc_ts, url) sort key.  min-wins, not
+    last-write-wins: a re-crawled url (two rows, two warc_ts) must
+    order by its EARLIEST crawl, exactly like the engine's
+    F.min(struct(warc_ts, url)) / row_number over (warc_ts, url)."""
+    order: dict = {}
+    for u, ts in zip(urls, tss):
+        k = (ts, u)
+        if u not in order or k < order[u]:
+            order[u] = k
+    return order
+
+
 def _bucket_pairs(
-    buckets: dict, docs: pd.DataFrame, cap: int
+    buckets: dict, order: dict, cap: int
 ) -> set[tuple[str, str]]:
-    """Mirror of operators/lsh.bucket_pairs: all-pairs <= cap, else star."""
-    order = {
-        u: (ts, u) for u, ts in zip(docs["url"], docs["warc_ts"])
-    }
+    """Mirror of operators/lsh.bucket_pairs: all-pairs <= cap, else
+    star to the bucket head (min (warc_ts, url)); emitted pairs are
+    url-normalized (url_a < url_b lexicographic) like the engine."""
     pairs: set[tuple[str, str]] = set()
     for members in buckets.values():
         if len(members) < 2:
@@ -102,12 +114,14 @@ def _bucket_pairs(
                     # url present twice in one bucket under different
                     # warc_ts must not emit the degenerate (X, X)
                     if ms[i] != ms[j]:
-                        pairs.add((ms[i], ms[j]))
+                        pairs.add(
+                            (min(ms[i], ms[j]), max(ms[i], ms[j]))
+                        )
         else:
             head = ms[0]
             for m in ms[1:]:
                 if head != m:
-                    pairs.add((head, m))
+                    pairs.add((min(head, m), max(head, m)))
     return pairs
 
 
@@ -137,8 +151,7 @@ def run_oracle(
         nshingles.append(n)
         simhashes.append(sh)
 
-    docs = pd.DataFrame({"url": urls, "warc_ts": tss})
-    order = {u: (ts, u) for u, ts in zip(urls, tss)}
+    order = _order_map(urls, tss)
 
     # --- exact pass (raw text identity, sha256) ---
     exact_groups: dict[str, list[str]] = defaultdict(list)
@@ -152,7 +165,10 @@ def run_oracle(
             gs = sorted(g, key=lambda u: order[u])
             head = gs[0]
             for m in gs[1:]:
-                exact_pairs.add((head, m))
+                # self-pair guard (a url ingested twice with the same
+                # text), matching the engine's url_a != url_b filter
+                if head != m:
+                    exact_pairs.add((head, m))
 
     # --- MinHash LSH pass ---
     buckets: dict[tuple[int, int], list[str]] = defaultdict(list)
@@ -161,7 +177,7 @@ def run_oracle(
             continue
         for band, key in enumerate(bk.tolist()):
             buckets[(band, key)].append(u)
-    cand = _bucket_pairs(buckets, docs, cfg.bucket_cap)
+    cand = _bucket_pairs(buckets, order, cfg.bucket_cap)
 
     sig_by_url = dict(zip(urls, sigs))
     minhash_pairs: set[tuple[str, str]] = set()
@@ -175,6 +191,18 @@ def run_oracle(
     # --- SimHash pass ---
     simhash_pairs: set[tuple[str, str]] = set()
     if use_simhash:
+        # mirror the ENGINE's index auto-selection (pipeline.py calls
+        # auto_index_config from the measured live count): without
+        # this, a >~1M-doc oracle run would bucket by pigeonhole while
+        # the engine buckets by the combo index — under bucket_cap
+        # star-pairing the two schemes emit different candidate sets,
+        # so the parity gate would silently compare different
+        # algorithms exactly in the regime it exists to check
+        from destor_spark.operators.simhash import auto_index_config
+
+        cfg = auto_index_config(
+            cfg, sum(1 for n in nshingles if n > 0)
+        )
         sbuckets: dict[tuple[int, int], list[str]] = defaultdict(list)
         if not cfg.simhash_combo_blocks:
             width = cfg.simhash_bits // cfg.simhash_blocks
@@ -207,7 +235,7 @@ def run_oracle(
                     for pos, i in enumerate(combo):
                         key |= blocks[i] << (pos * width)
                     sbuckets[(10_100 + ci, key)].append(u)
-        scand = _bucket_pairs(sbuckets, docs, cfg.bucket_cap)
+        scand = _bucket_pairs(sbuckets, order, cfg.bucket_cap)
         sh_by_url = dict(zip(urls, simhashes))
         for ua, ub in scand:
             x = (sh_by_url[ua] ^ sh_by_url[ub]) & 0xFFFFFFFFFFFFFFFF
@@ -242,7 +270,7 @@ def run_oracle(
         text_by_url = dict(zip(urls, texts))
         substring_pairs = {
             (ua, ub)
-            for ua, ub in _bucket_pairs(gbuckets, docs, cfg.bucket_cap)
+            for ua, ub in _bucket_pairs(gbuckets, order, cfg.bucket_cap)
             if H.has_common_substring(
                 text_by_url[ua] or "",
                 text_by_url[ub] or "",
@@ -254,10 +282,15 @@ def run_oracle(
     dsu = _DSU()
     for ua, ub in exact_pairs | minhash_pairs | simhash_pairs | substring_pairs:
         dsu.union(ua, ub)
-    cluster = {u: dsu.find(u) for u in urls}
+    # membership over UNIQUE urls: a re-crawled url is one document
+    # with two rows — emitting it twice would double its assignment
+    # row and double-flag it canonical (the engine's row-level
+    # canonical selection keeps one row per url via row_number)
+    uniq_urls = list(dict.fromkeys(urls))
+    cluster = {u: dsu.find(u) for u in uniq_urls}
 
     members: dict[str, list[str]] = defaultdict(list)
-    for u in urls:
+    for u in uniq_urls:
         members[cluster[u]].append(u)
     rows = []
     for cid, ms in members.items():

@@ -102,3 +102,37 @@ def test_converged_on_final_round_without_fp_repeat(spark):
     rows = connected_components(df, max_rounds=1, tail_rows=0).collect()
     got = {r["url"]: r["cluster_id"] for r in rows}
     assert got == {"a": "a", "b": "a"}
+
+
+def test_star_forest_test_rejects_multi_parent(spark):
+    """{(c,a),(c,b),(d,a),(e,b)} has no chained edge (no parent is a
+    child) yet c has TWO root parents — _chained_count alone calls it
+    converged; the star-forest test must not."""
+    from destor_spark.operators.cluster import (
+        _chained_count,
+        _is_star_forest,
+    )
+
+    edges = spark.createDataFrame(
+        [("c", "a"), ("c", "b"), ("d", "a"), ("e", "b")],
+        "u string, v string",
+    )
+    assert _chained_count(edges) == 0  # the old (insufficient) test
+    assert not _is_star_forest(edges)  # the corrected one
+    ok = spark.createDataFrame(
+        [("c", "a"), ("d", "a"), ("e", "b")], "u string, v string"
+    )
+    assert _is_star_forest(ok)
+
+
+def test_multi_parent_component_still_merges(spark):
+    """A graph whose intermediate state is multi-parent must converge
+    to ONE component with one row per url."""
+    pairs = spark.createDataFrame(
+        [("c", "a"), ("c", "b"), ("d", "a"), ("e", "b")],
+        "url_a string, url_b string",
+    )
+    out = connected_components(pairs).toPandas()
+    assert sorted(out["url"]) == ["a", "b", "c", "d", "e"]
+    assert out["url"].is_unique
+    assert set(out["cluster_id"]) == {"a"}

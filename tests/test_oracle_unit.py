@@ -74,25 +74,18 @@ def test_oracle_bucket_pairs_self_pair_guard():
     """Engine parity (lsh.py self-pair guard): a url present twice in
     one bucket under different warc_ts must not emit the degenerate
     (X, X) pair — in either the all-pairs or the star branch."""
-    import pandas as pd
+    from destor_spark.oracle import _bucket_pairs, _order_map
 
-    from destor_spark.oracle import _bucket_pairs
-
-    docs = pd.DataFrame(
-        {
-            "url": ["u/a", "u/b", "u/c"],
-            "warc_ts": pd.to_datetime(
-                ["2024-01-01", "2024-01-02", "2024-01-03"]
-            ),
-        }
+    order = _order_map(
+        ["u/a", "u/b", "u/c"], ["2024-01-01", "2024-01-02", "2024-01-03"]
     )
     # all-pairs branch: u/a twice in the bucket
-    got = _bucket_pairs({(0, 1): ["u/a", "u/a", "u/b"]}, docs, cap=64)
+    got = _bucket_pairs({(0, 1): ["u/a", "u/a", "u/b"]}, order, cap=64)
     assert ("u/a", "u/a") not in got
     assert ("u/a", "u/b") in got
     # star branch (cap exceeded): head duplicated
     got = _bucket_pairs(
-        {(0, 1): ["u/a", "u/a", "u/b", "u/c"]}, docs, cap=2
+        {(0, 1): ["u/a", "u/a", "u/b", "u/c"]}, order, cap=2
     )
     assert ("u/a", "u/a") not in got
 
@@ -113,3 +106,51 @@ def test_tokenize_ascii_whitespace_only(spark):
             .collect()[0]["t"]
         )
         assert O.tokenize(s) == engine, s
+
+
+def test_oracle_recrawled_url_semantics():
+    """Duplicate-url (re-crawl) input: the oracle must (a) order a url
+    by its EARLIEST warc_ts (min-wins, like the engine's min-struct),
+    (b) never emit a degenerate (X, X) pair, (c) emit exactly ONE
+    assignment row per url with one canonical per cluster."""
+    import datetime
+
+    ts = [datetime.datetime(2024, 1, d) for d in (1, 9, 5)]
+    pages = pd.DataFrame(
+        {
+            "url": ["X", "X", "Y"],
+            "warc_ts": [ts[0], ts[1], ts[2]],
+            "text": ["same text here"] * 3,
+        }
+    )
+    o = run_oracle(pages, DedupConfig(), use_simhash=False)
+    dp = o["dup_pairs"]
+    assert not ((dp["url_a"] == dp["url_b"]).any())
+    a = o["assignments"]
+    assert a["url"].is_unique and len(a) == 2
+    # X@jan1 is the earliest copy -> X canonical, Y not
+    by_url = a.set_index("url")
+    assert bool(by_url.loc["X", "is_canonical"])
+    assert not bool(by_url.loc["Y", "is_canonical"])
+
+
+def test_oracle_auto_index_mirrors_engine():
+    """Above the pigeonhole occupancy threshold the ENGINE switches to
+    the combo simhash index (pipeline auto_index_config); the oracle
+    must make the same switch, or under star-capping the two would
+    bucket differently.  Gate: an auto cfg whose corpus exceeds the
+    threshold produces the same simhash pair set as an EXPLICIT combo
+    cfg."""
+    from destor_spark.synth import make_corpus
+
+    pages, _ = make_corpus(seed=5, n_docs=200)
+    # width 2 -> threshold 16 * 4 = 64 live docs < 200 -> auto=combo
+    cfg_auto = DedupConfig(simhash_bits=64, simhash_blocks=32)
+    cfg_combo = DedupConfig(
+        simhash_bits=64, simhash_blocks=32, simhash_combo_blocks=8
+    )
+    pa = run_oracle(pages, cfg_auto)["dup_pairs"]
+    pc = run_oracle(pages, cfg_combo)["dup_pairs"]
+    sa = {(r.url_a, r.url_b) for r in pa[pa["modality"] == "simhash"].itertuples()}
+    sc = {(r.url_a, r.url_b) for r in pc[pc["modality"] == "simhash"].itertuples()}
+    assert sa == sc and len(sa) > 0
