@@ -21,11 +21,15 @@ from pyspark.sql import functions as F
 def assignments(pages: DataFrame, components: DataFrame) -> DataFrame:
     """pages(url, warc_ts, ...) x components(url, cluster_id) -> assignment.
 
+    ONE row per url: document identity is the url, so a re-crawled
+    page (same url, multiple warc_ts rows) is one document whose
+    identity timestamp is its EARLIEST crawl — the same min-wins rule
+    the oracle's _order_map applies and destor's first-copy-wins
+    implies.  cluster_size therefore counts DOCUMENTS, not crawl rows.
     Docs absent from components are singletons (cluster_id = own url).
     """
-    joined = pages.select("url", "warc_ts").join(
-        components, "url", "left"
-    )
+    docs = pages.groupBy("url").agg(F.min("warc_ts").alias("warc_ts"))
+    joined = docs.join(components, "url", "left")
     labeled = joined.withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col("url"))
     )
@@ -47,10 +51,20 @@ def restore(pages: DataFrame, assign: DataFrame) -> DataFrame:
     byte-identical to the input (destor restore byte-equality,
     /root/reference/src/do_restore.c:110-186).  Used by tests.
     """
+    # one text per url (earliest crawl wins): joining on url alone
+    # would fan a re-crawled canonical out per text version, emitting
+    # duplicated rows with conflicting restored texts
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    first_text = (
+        pages.select("url", "warc_ts", "text")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", "text")
+    )
     canon_text = (
         assign.filter("is_canonical")
         .select("cluster_id", "url")
-        .join(pages.select("url", "text"), "url")
+        .join(first_text, "url")
         .select("cluster_id", F.col("text").alias("canonical_text"))
     )
     return (

@@ -91,6 +91,19 @@ class StageRunner:
         df = fn()
         if repartition:
             df = df.repartition(repartition)
+        # invalidate BEFORE the data overwrite: mode('overwrite')
+        # deletes the old parquet first, so a crash mid-recompute must
+        # not leave a stale 'complete' manifest (written under an
+        # earlier config) pointing at destroyed/partial data — a later
+        # run under that earlier config would resume from garbage.
+        # Atomic replace, same pattern as the commit below.
+        if os.path.exists(mpath):
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"status": "recomputing", "run_id": self.run_id}, f
+                )
+            os.replace(tmp, mpath)
         df.write.mode("overwrite").parquet(data_dir)
         # wall stops at the durable write: the lineage/metrics queries
         # below re-read the output and would otherwise be billed to the

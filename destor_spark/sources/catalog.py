@@ -173,8 +173,14 @@ class Catalog:
         return {"tables": {}}
 
     def _save_manifest(self, m: dict) -> None:
-        with open(self._manifest_path, "w") as f:
+        # atomic replace (same pattern as checkpoint.py stage
+        # manifests): truncating _catalog.json in place meant a crash
+        # mid-dump corrupted the manifest and bricked every later
+        # catalog call with JSONDecodeError
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)
 
     def write_table(
         self,
@@ -194,22 +200,47 @@ class Catalog:
                 "'append'"
             )
         path = os.path.join(self.base, name)
+        m = self._load_manifest()
+        prior = m["tables"].get(name, {})
+        if mode == "append" and name in m["tables"]:
+            # Iceberg keeps the table's partition spec on append; the
+            # fallback must too, or an append without partition_by
+            # drops top-level part-files beside lang=... dirs
+            # ('Conflicting directory structures' on the next read)
+            # and silently resets the recorded layout
+            recorded = prior.get("partition_by") or []
+            if partition_by is None:
+                partition_by = recorded
+            elif list(partition_by) != recorded:
+                raise ValueError(
+                    f"append partition_by {partition_by} conflicts with "
+                    f"table layout {recorded} (Iceberg appends always "
+                    "use the table's existing spec)"
+                )
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
-        m = self._load_manifest()
-        versions = m["tables"].get(name, {}).get("versions", 0)
+        versions = prior.get("versions", 0)
         m["tables"][name] = {
             "path": path,
             "format": "parquet",
             "versions": versions + 1,
-            "partition_by": partition_by or [],
+            "partition_by": list(partition_by) if partition_by else [],
         }
         self._save_manifest(m)
 
     def read_table(self, name: str) -> DataFrame:
         path = os.path.join(self.base, name)
+        # crash recovery for delete_where's two-rename commit: a crash
+        # between rename(path, __old) and rename(__rewrite, path)
+        # leaves no dir at `path` — restore whichever side exists
+        # (the NEW data if its rewrite completed, else the old table)
+        if not os.path.exists(path):
+            for side in (path + "__rewrite", path + "__old"):
+                if os.path.exists(side):
+                    os.rename(side, path)
+                    break
         return self.spark.read.parquet(path)
 
     def exists(self, name: str) -> bool:
@@ -241,11 +272,12 @@ class Catalog:
             w = w.partitionBy(*part_by)
         w.parquet(tmp)
         # commit via renames: the table dir is moved aside, the new
-        # data renamed in, and only then is the old data removed — a
-        # crash at any point leaves either the old table or the new
-        # one at `path` (plus at most a leftover __old/__rewrite dir),
-        # never a window with no table at all (the previous
-        # rmtree-then-rename sequence had exactly that window)
+        # data renamed in, then the old data removed.  Between the two
+        # renames there IS a brief no-dir-at-`path` window (POSIX has
+        # no atomic directory swap); read_table covers it by restoring
+        # from __rewrite (the committed new data) or __old (the
+        # original) whenever `path` is missing — so a crash at any
+        # point leaves a RECOVERABLE table, never a lost one
         shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
         os.rename(tmp, path)

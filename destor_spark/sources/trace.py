@@ -324,6 +324,15 @@ def read_fsl_trace(spark: SparkSession, path: str) -> DataFrame:
                     raise ValueError(
                         f"unsupported FSL version {version} in {fname}"
                     )
+                if len(b) < _fsl_header_size(version):
+                    # validate against THIS version's header size: the
+                    # v1/v2-size check above let a truncated v3-v7
+                    # file (header 8288/8296 B) parse its fields, skip
+                    # the record loop entirely, and contribute ZERO
+                    # rows with no error
+                    raise ValueError(
+                        f"truncated FSL v{version} header in {fname}"
+                    )
                 off = 8 + 8 + _FSL_PATH + 8
                 (chnk_method,) = struct.unpack_from("<I", b, off)
                 params = b[off + 4 : off + 4 + _FSL_UNION]

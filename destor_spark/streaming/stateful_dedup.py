@@ -35,14 +35,24 @@ def _keep_first(
 ) -> Iterable[pd.DataFrame]:
     if state.exists:
         return  # this content hash already produced its canonical row
+
+    def _key(row) -> tuple:
+        # batch parity: Spark ASC ordering is NULLS FIRST, so a null
+        # warc_ts must WIN over any real timestamp (pandas sort_values
+        # defaults NaT last, and NaT tuple comparisons are all-False,
+        # which made the winner chunk-arrival-dependent).  NaT is
+        # replaced by Timestamp.min so two null-ts rows still reach
+        # the url tie-break (NaT < NaT is False, never True).
+        ts = row["warc_ts"].iat[0]
+        if pd.isna(ts):
+            return (0, pd.Timestamp.min, row["url"].iat[0])
+        return (1, ts, row["url"].iat[0])
+
     best = None
     for pdf in pdfs:
-        pdf = pdf.sort_values(["warc_ts", "url"])
+        pdf = pdf.sort_values(["warc_ts", "url"], na_position="first")
         head = pdf.iloc[[0]]
-        if best is None or (
-            (head["warc_ts"].iat[0], head["url"].iat[0])
-            < (best["warc_ts"].iat[0], best["url"].iat[0])
-        ):
+        if best is None or _key(head) < _key(best):
             best = head
     state.update((True,))
     yield best[["url", "warc_ts"]].assign(content_sha=key[0])

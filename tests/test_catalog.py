@@ -190,3 +190,69 @@ def test_fallback_write_mode_whitelist(spark, tmp_path):
         cat.write_table(df, "t", mode="ignore")
     with pytest.raises(ValueError, match="unsupported write mode"):
         cat.write_table(df, "t", mode="error")
+
+
+def test_append_reuses_partition_spec(spark, tmp_path):
+    """Iceberg keeps the table's partition spec on append; the parquet
+    fallback must too — a bare append used to drop top-level
+    part-files beside lang=... dirs and reset the recorded layout."""
+    import pytest as _pytest
+
+    from destor_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de")], "doc_id long, lang string"
+    )
+    cat.write_table(df, "t", partition_by=["lang"])
+    cat.write_table(df, "t", mode="append")  # no partition_by given
+    got = cat.read_table("t")
+    assert got.count() == 4
+    m = cat._load_manifest()
+    assert m["tables"]["t"]["partition_by"] == ["lang"]
+    with _pytest.raises(ValueError, match="conflicts with table layout"):
+        cat.write_table(df, "t", mode="append", partition_by=["doc_id"])
+
+
+def test_read_table_recovers_interrupted_delete(spark, tmp_path):
+    """delete_where's two-rename commit has a no-dir window; read_table
+    must restore from __rewrite/__old instead of failing."""
+    import os
+    import shutil
+
+    from destor_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    cat.write_table(df, "t")
+    path = os.path.join(cat.base, "t")
+    # simulate a crash after rename(path, __old), before rename(tmp, path)
+    os.rename(path, path + "__old")
+    assert cat.read_table("t").count() == 2  # recovered from __old
+    assert os.path.exists(path)
+    # simulate the same window with a completed __rewrite present:
+    # recovery must prefer the committed NEW data
+    shutil.move(path, path + "__old")
+    spark.createDataFrame([(9,)], "doc_id long").write.parquet(
+        path + "__rewrite"
+    )
+    got = cat.read_table("t")
+    assert [r["doc_id"] for r in got.collect()] == [9]
+
+
+def test_manifest_save_is_atomic(spark, tmp_path):
+    """_save_manifest writes tmp + os.replace; no .tmp residue and the
+    manifest parses after every write."""
+    import json
+    import os
+
+    from destor_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    cat.write_table(df, "a")
+    cat.write_table(df, "b")
+    assert not os.path.exists(cat._manifest_path + ".tmp")
+    with open(cat._manifest_path) as f:
+        m = json.load(f)
+    assert set(m["tables"]) == {"a", "b"}

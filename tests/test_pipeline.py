@@ -165,3 +165,32 @@ def test_verify_pairs_null_safe_on_length_drift(spark, cfg):
     # drifted pair: 96 agreements / max(128, 96) = 0.75 >= tau 0.71 —
     # present (not NULL-dropped) and honestly penalized
     assert abs(out[("u1", "u3")] - 0.75) < 1e-12
+
+
+def test_recrawl_corpus_engine_oracle_parity(spark, cfg):
+    """Re-crawled urls (same url, multiple warc_ts rows) are ONE
+    document on both engines: assignments are frame-equal, one row and
+    one canonical decision per url, no degenerate pairs."""
+    from destor_spark.synth import make_corpus
+
+    pages, _ = make_corpus(seed=21, n_docs=300)
+    # re-crawl 20 pages: duplicate their rows with a later ts and the
+    # same text (snapshot), plus 5 with EDITED text (content drift)
+    dup = pages.iloc[:20].copy()
+    dup["warc_ts"] = dup["warc_ts"] + pd.Timedelta(days=30)
+    drift = pages.iloc[20:25].copy()
+    drift["warc_ts"] = drift["warc_ts"] + pd.Timedelta(days=60)
+    drift["text"] = drift["text"] + " trailing edit"
+    recrawled = pd.concat([pages, dup, drift], ignore_index=True)
+    _, spark_pairs, spark_assign, o = _run_both(spark, cfg, recrawled)
+    # one row per url on the engine side
+    assert spark_assign["url"].is_unique
+    assert len(spark_assign) == 300
+    oa = (
+        o["assignments"][["url", "cluster_id", "is_canonical"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(spark_assign, oa, check_dtype=False)
+    # no self-pairs anywhere
+    assert all(a != b for a, b in spark_pairs)

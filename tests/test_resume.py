@@ -148,3 +148,45 @@ def test_corrupt_manifest_recomputes_not_crashes(
         f.write('{"status": "comp')
     b = _assign_pdf(run_checkpointed(spark, pages, cfg, ckpt_dir))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_recompute_invalidates_manifest_before_overwrite(
+    spark, tmp_path
+):
+    """A crash mid-recompute must not leave the PREVIOUS 'complete'
+    manifest pointing at destroyed data: run() flips the manifest to
+    'recomputing' before the data overwrite, so the old config's
+    resume path recomputes instead of reading garbage."""
+    import json
+
+    from destor_spark.plans.checkpoint import StageRunner
+
+    base = str(tmp_path / "ck")
+    r1 = StageRunner(spark, base, run_id="r1", context_fp="cfgA")
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    r1.run("s", lambda: df)
+    assert r1.completed("s")
+
+    # recompute under cfgB whose write FAILS mid-execution (a UDF
+    # that raises on the first row — the crash-during-overwrite shape)
+    from pyspark.sql import functions as F
+
+    def _boom(x):
+        raise RuntimeError("simulated crash mid-write")
+
+    r2 = StageRunner(spark, base, run_id="r2", context_fp="cfgB")
+    bad = spark.range(2).select(
+        F.udf(_boom, "long")("id").alias("doc_id")
+    )
+    try:
+        r2.run("s", lambda: bad)
+    except Exception:
+        pass
+    # the stale cfgA manifest must be gone (status=recomputing)
+    _, mpath = r2._paths("s")
+    with open(mpath) as f:
+        m = json.load(f)
+    assert m.get("status") != "complete"
+    assert not StageRunner(
+        spark, base, run_id="r3", context_fp="cfgA"
+    ).completed("s")

@@ -687,3 +687,30 @@ def test_streaming_cumulative_pairs_match_batch_pipeline(
     want = {frozenset((a, b)) for a, b in zip(want_p.url_a, want_p.url_b)}
 
     assert got == want
+
+
+def test_stateful_keep_first_null_ts_batch_parity():
+    """_keep_first must order null warc_ts FIRST (Spark ASC = NULLS
+    FIRST, the batch engines' rule) regardless of chunk arrival order,
+    and break all-null ties by url."""
+    import pandas as pd
+
+    from destor_spark.streaming.stateful_dedup import _keep_first
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+
+    t = pd.Timestamp("2024-01-05")
+    a = pd.DataFrame({"url": ["v"], "warc_ts": [t]})
+    b = pd.DataFrame({"url": ["u"], "warc_ts": [pd.NaT]})
+    for chunks in ([a, b], [b, a]):
+        out = list(_keep_first(("sha",), iter(chunks), _State()))[0]
+        assert out["url"].iat[0] == "u", chunks  # null ts wins
+    # two all-null chunks: url tie-break, order-independent
+    c = pd.DataFrame({"url": ["z"], "warc_ts": [pd.NaT]})
+    for chunks in ([b, c], [c, b]):
+        out = list(_keep_first(("sha",), iter(chunks), _State()))[0]
+        assert out["url"].iat[0] == "u", chunks

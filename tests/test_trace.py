@@ -234,3 +234,19 @@ def test_fsl_all_versions_fixed_tail(spark, tmp_path):
         )
         df = read_fsl_trace(spark, d).toPandas()
         assert list(df["size"]) == [4096] * 7 + [1234], f"v{v}"
+
+
+def test_truncated_v3_header_raises(spark, tmp_path):
+    """A v3-v7 file shorter than ITS version's header must raise, not
+    silently contribute zero rows (the v1/v2-size check let it slip)."""
+    import struct
+
+    import pytest as _pytest
+
+    from destor_spark.sources.trace import FSL_MAGIC, read_fsl_trace
+
+    p = tmp_path / "trunc.hash"
+    # valid magic + version 3, then nothing like a full 8288-B header
+    p.write_bytes(struct.pack("<II", FSL_MAGIC, 3) + b"\0" * 4300)
+    with _pytest.raises(Exception, match="truncated FSL v3"):
+        read_fsl_trace(spark, str(p)).collect()
