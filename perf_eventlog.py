@@ -58,6 +58,16 @@ def analyze(path: str, top_n: int = 12) -> list[dict]:
             return d
         return p
 
+    # ONE application per analysis: a reused event dir accumulates an
+    # eventlog_v2_<app> dir per run (perf_heap_ab reuses a
+    # deterministic dir), and merging apps would count the hours
+    # BETWEEN runs as driver idle, sum stage walls across runs, and
+    # take `cores` from whichever app parsed last.  Keep the newest.
+    app_dirs = {app_key(f) for f in files}
+    if len(app_dirs) > 1:
+        newest = max(app_dirs, key=os.path.getmtime)
+        files = [f for f in files if app_key(f) == newest]
+
     for fp in files:
         app = app_key(fp)
         # Spark compresses rolling shards (spark.eventLog.compress

@@ -28,7 +28,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-from perf_scaling import RUN_SNIPPET, probe  # noqa: E402
+from perf_scaling import membw_probe, RUN_SNIPPET, probe  # noqa: E402
 
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000000"))
 OUT = os.path.join(REPO, ".bench_cache", "heap_ab.jsonl")
@@ -46,7 +46,12 @@ def one_run(cores: int, path: str, mem: str, evdir: str) -> dict:
     os.makedirs("/dev/shm/destor_mat", exist_ok=True)
     os.makedirs("/dev/shm/destor_spark_local", exist_ok=True)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        # a wedged leg fails the trial rather than hanging the A/B
+        timeout=int(os.environ.get("SPARK_GRAFT_LEG_TIMEOUT", "14400")),
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -70,11 +75,16 @@ def main() -> None:
         path = shm
     rows = []
     for mem in mems:
-        evdir = f"/tmp/evlog_ab_{cores}c_{mem}"
-        p0 = probe()
+        evdir = f"/tmp/evlog_ab_{cores}c_{mem}_{int(time.time())}"
+        # membw probes alongside ALU: the r5 next-day regime proved
+        # the ALU probe blind to memory-bandwidth contention (cpu frac
+        # 0.86-0.88 while shuffle stages ran 2-2.7x slow) — exactly
+        # the confound that would mimic a heap/GC effect in this A/B.
+        # evdir is timestamped so perf_eventlog never sees two apps.
+        p0, bw0 = probe(), membw_probe()
         t0 = time.time()
         res = one_run(cores, path, mem, evdir)
-        p1 = probe()
+        p1, bw1 = probe(), membw_probe()
         row = {
             "t": time.strftime("%H:%M:%S"),
             "cores": cores,
@@ -84,6 +94,8 @@ def main() -> None:
             "total": round(time.time() - t0, 2),
             "probe_pre_ops": p0,
             "probe_post_ops": p1,
+            "membw_pre": bw0,
+            "membw_post": bw1,
             "evdir": evdir,
         }
         rows.append(row)

@@ -72,8 +72,15 @@ def one_run(cores: int, path: str) -> dict:
     )
     os.makedirs("/dev/shm/destor_mat", exist_ok=True)
     os.makedirs("/dev/shm/destor_spark_local", exist_ok=True)
+    # timeout: a wedged leg (the in-JVM freeze class BENCH.md r4
+    # documents) must become a 'failed' row and let the loop resume —
+    # not hang the sampler forever with STATE stuck at pair_running
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=int(os.environ.get("SPARK_GRAFT_LEG_TIMEOUT", "14400")),
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -172,8 +179,16 @@ def main() -> None:
         # lands the HIGH leg deeper into a decaying window (observed:
         # six r3 pairs, every slow probe_end on the high leg).  The
         # min-per-leg protocol needs both legs sampled in the fresh
-        # position.
-        first_low = int(time.time() // 60) % 2 == 0
+        # position.  Parity of the RECORDED pair count guarantees true
+        # alternation even across sampler restarts (the previous
+        # minute-of-epoch parity did NOT alternate: pairs of
+        # near-constant duration kept landing on the same parity).
+        try:
+            with open(OUT) as _f:
+                n_recorded = sum(1 for _l in _f if _l.strip())
+        except OSError:
+            n_recorded = 0
+        first_low = n_recorded % 2 == 0
         order = (
             (CORES_LOW, CORES_HIGH) if first_low else (CORES_HIGH, CORES_LOW)
         )
@@ -199,8 +214,9 @@ def main() -> None:
         walls = {}
         try:
             ra = one_run(order[0], path)
-        except RuntimeError as exc:
-            # a failed leg (JVM death, host eviction) is a finding, not
+        except (RuntimeError, subprocess.TimeoutExpired) as exc:
+            # a failed leg (JVM death, host eviction, wedge->timeout)
+            # is a finding, not
             # a reason to stop sampling — log it and keep looping
             pair["failed"] = f"{order[0]}: {exc}"[:500]
             with open(OUT, "a") as f:
@@ -219,7 +235,7 @@ def main() -> None:
         pair["probe_mid_pf_bytes"] = pr1["pf"]
         try:
             rb = one_run(order[1], path)
-        except RuntimeError as exc:
+        except (RuntimeError, subprocess.TimeoutExpired) as exc:
             pair["failed"] = f"{order[1]}: {exc}"[:500]
             with open(OUT, "a") as f:
                 f.write(json.dumps(pair) + "\n")

@@ -32,12 +32,21 @@ def leg_probes(p: dict, lo: int, hi: int) -> dict[int, tuple[float, float]]:
 def main() -> None:
     rows = [json.loads(line) for line in open(PATH) if line.strip()]
     groups = defaultdict(list)
+    n_failed = 0
     for r in rows:
+        if "failed" in r or "n_docs" not in r or "probe_end" not in r:
+            # a dead leg writes only {t, cores, probe0, failed}: count
+            # it (the failure is auditable in the jsonl) but keep the
+            # report running — one crashed leg must not brick the tool
+            n_failed += 1
+            continue
         if "cores" not in r:  # r1/r2 rows predate the cores field
             r["cores"] = sorted(
                 int(k.split("_")[1]) for k in r if k.startswith("wall_")
             )
         groups[(tuple(r["cores"]), r["n_docs"])].append(r)
+    if n_failed:
+        print(json.dumps({"failed_or_partial_rows_skipped": n_failed}))
     for (cores, n_docs), rs in sorted(groups.items()):
         lo, hi = cores
         healthy = {lo: [], hi: []}

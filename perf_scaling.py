@@ -182,9 +182,17 @@ def _load_best_dict() -> dict:
 
 
 def _save_best_dict(d: dict) -> None:
+    # atomic replace: the sampler loop and a foreground perf_scaling
+    # can both write this file; a truncating open() mid-write would
+    # hand a concurrent reader invalid JSON -> best ratchets from a
+    # degraded reading and garbage pairs read as healthy.  (The RMW
+    # itself is still last-writer-wins per KEY, which only ever loses
+    # a ratchet update — the next probe restores it.)
     os.makedirs(os.path.dirname(_PROBE_BEST_FILE), exist_ok=True)
-    with open(_PROBE_BEST_FILE, "w") as f:
+    tmp = f"{_PROBE_BEST_FILE}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(d, f)
+    os.replace(tmp, _PROBE_BEST_FILE)
 
 
 def load_best_probe() -> float:
@@ -238,11 +246,20 @@ def save_best_pgfault(v: float) -> None:
     _save_best_dict(d)
 
 
+LEG_TIMEOUT = int(os.environ.get("SPARK_GRAFT_LEG_TIMEOUT", "14400"))
+
+
 def one_run(cores: int, path: str) -> dict:
     code = RUN_SNIPPET.format(repo=REPO, cores=cores, path=path)
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="32g")
+    # timeout: a wedged leg (the in-JVM freeze class BENCH.md r4
+    # documents) must fail the TRIAL, not hang the harness forever
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=LEG_TIMEOUT,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -283,8 +300,20 @@ def main() -> None:
                 f"probe_frac={res['probe_frac']}",
                 flush=True,
             )
-    t8 = min(s["wall"] for s in samples[CORES_LOW])
-    t32 = min(s["wall"] for s in samples[CORES_HIGH])
+    # headline min is over HEALTHY-window trials only (probe_frac >=
+    # floor at trial start); a MAX_WAITS fall-through trial stays in
+    # samples_* for the audit trail but must not produce a confident
+    # efficiency number measured under interference.  If NO healthy
+    # trial exists for a leg the unfiltered min is reported with an
+    # explicit degraded flag instead of silently.
+    def _leg_min(ss):
+        healthy = [s["wall"] for s in ss if s["probe_frac"] >= PROBE_FLOOR]
+        if healthy:
+            return min(healthy), False
+        return min(s["wall"] for s in ss), True
+
+    t8, deg_lo = _leg_min(samples[CORES_LOW])
+    t32, deg_hi = _leg_min(samples[CORES_HIGH])
     ratio = CORES_HIGH / CORES_LOW
     eff = round((t8 / t32) / ratio, 3)
     out = {
@@ -298,6 +327,11 @@ def main() -> None:
         "docs_per_sec_high": round(N_DOCS / t32, 1),
         "speedup": round(t8 / t32, 2),
         "scaling_efficiency": eff,
+        "degraded_legs": [
+            c
+            for c, d in ((CORES_LOW, deg_lo), (CORES_HIGH, deg_hi))
+            if d
+        ],
     }
     print(json.dumps(out))
 

@@ -49,17 +49,9 @@ def main() -> None:
     stages: dict[str, float] = {}
 
     t = time.time()
-    evdir = os.environ.get("SPARK_GRAFT_EVENT_DIR")
-    extra = {}
-    if evdir:
-        os.makedirs(evdir, exist_ok=True)
-        extra = {
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.dir": evdir,
-        }
-    spark = build_session(
-        master=f"local[{CORES}]", shuffle_partitions=SHUFFLE, extra=extra
-    )
+    # SPARK_GRAFT_EVENT_DIR is honored by build_session itself (with
+    # the rolling+zstd layout perf_eventlog expects) — no extra confs
+    spark = build_session(master=f"local[{CORES}]", shuffle_partitions=SHUFFLE)
     stages["setup/session"] = round(time.time() - t, 2)
     t = time.time()
     pages = spark.read.parquet(path)
@@ -93,11 +85,17 @@ def main() -> None:
 
     t = time.time()
     sim = simhash_op.simhash_pairs(sigs, sim_cfg)
-    edges = (
+    # parquet barrier, NOT persist: run_pipeline barriers the edge
+    # union before CC (the ~6.3 GB simhash exchange re-ran 3x at 4M
+    # without it), and persist() of this relation measured ~2x slower
+    # than the parquet round-trip — the breakdown must take the same
+    # physical path as the pipeline it attributes
+    edges = _materialize(
         exact_edges.unionByName(verified.select("url_a", "url_b"))
         .unionByName(sim)
-        .distinct()
-        .persist()
+        .distinct(),
+        "edges",
+        root,
     )
     n_edges = edges.count()
     stages["simhash+edges"] = round(time.time() - t, 2)
