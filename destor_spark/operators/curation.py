@@ -441,8 +441,9 @@ def curation_decisions(
     Cascades are deliberately not re-resolved (a URL-dup's keeper may
     itself be an exact dup): production curation stages run
     independently and union their removal sets.  Plan: two keep-first
-    windows on uniform keys (md5, canonical url), the pair relation's
-    own shuffle, then broadcast-sized left joins onto the doc spine.
+    passes (min-agg on the key + anti-join on the uniform doc_id — no
+    window, see _keep_first_removals), the pair relation's own
+    shuffle, then broadcast-sized left joins onto the doc spine.
     destor analogue: the filter-phase decision enum
     (/root/reference/src/backup/filter_phase.c) — one labeled verdict
     per chunk, here per document.
