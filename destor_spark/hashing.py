@@ -266,7 +266,7 @@ _WS_LUT[[0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20]] = True
 
 
 def tokenize_spans(
-    buf: np.ndarray, doc_offsets: np.ndarray
+    buf: np.ndarray, doc_offsets: np.ndarray, lut: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Token spans of every document in one shared UTF-8 buffer.
 
@@ -274,12 +274,17 @@ def tokenize_spans(
     doc_offsets: int64[n_docs + 1] — document i occupies
         buf[doc_offsets[i]:doc_offsets[i+1]] (an Arrow string array's
         offsets buffer, possibly starting above 0 for sliced arrays).
+    lut: optional bool[256] delimiter table; default java-\\s
+        (_WS_LUT).  The portable md5-minhash operator passes a
+        space-only LUT to match ``split(text, ' ')`` semantics.
 
     Returns (starts, lengths, counts): token start positions in buf,
     token byte lengths, and tokens-per-document.  A token is a maximal
-    run of non-whitespace bytes within one document (runs never cross
+    run of non-delimiter bytes within one document (runs never cross
     document boundaries, matching per-document split semantics).
     """
+    if lut is None:
+        lut = _WS_LUT
     doc_offsets = np.asarray(doc_offsets, dtype=np.int64)
     lo, hi = int(doc_offsets[0]), int(doc_offsets[-1])
     n_docs = doc_offsets.shape[0] - 1
@@ -291,7 +296,7 @@ def tokenize_spans(
         )
     win = buf[lo:hi]
     rel = doc_offsets - lo
-    is_tok = ~_WS_LUT[win]
+    is_tok = ~lut[win]
     # a token STARTS where a non-ws byte has no non-ws predecessor
     # within the same document; symmetric rule for ends
     prev = np.empty_like(is_tok)

@@ -62,6 +62,120 @@ def _msim(a, b):
     return F.round(cosine_sim(a, b) * 1_000_000).cast("bigint")
 
 
+# ---------------------------------------------------------------------------
+# exact-fold numpy scoring kernels (r6)
+# ---------------------------------------------------------------------------
+# The expression cosine above is evaluated per PAIR by Spark's
+# interpreted higher-order functions (zip_with/aggregate have no
+# codegen): at sf1 the brute-force query scored 4M pairs x (1 zip_with
+# array allocation + 3 sequential folds) and recomputed both norms per
+# pair — 62 s of almost pure interpreter overhead.  These kernels
+# compute the SAME doubles bit-for-bit: the JVM fold is
+#   acc_0 = 0.0; acc_{i+1} = acc_i + (a_i * b_i)
+# (each op IEEE-double-rounded), and the numpy loop below performs the
+# identical op sequence per element lane (acc += A[:, i] * B[:, i]), so
+# dot, norm, cosine and the HALF_UP micro-rounding are equal to the
+# expression path on every input — not just approximately (parity
+# pinned in tests/test_ann_np.py).  F.round(double) == sign *
+# floor(abs + 0.5) for every representable value (x.5 is always
+# exactly representable below 2^52, and BigDecimal.valueOf shortest-
+# repr rounding can only differ from binary comparison AT an exact .5).
+
+
+def _fold_dot_cross(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n,d) x (m,d) -> (n,m) dots, left-fold accumulation order."""
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc += A[:, i : i + 1] * B[None, :, i]
+    return acc
+
+
+def _fold_dot_rows(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-aligned (n,d)·(n,d) -> (n,) dots, left-fold order."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc += A[:, i] * B[:, i]
+    return acc
+
+
+def _fold_norms(A: np.ndarray) -> np.ndarray:
+    """sqrt(left-fold sum of squares) per row — matches _norm()."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc += A[:, i] * A[:, i]
+    return np.sqrt(acc)
+
+
+def _half_up_micro(cos: np.ndarray) -> np.ndarray:
+    """round(cos * 1e6) HALF_UP -> int64, matching F.round/_msim."""
+    s = cos * 1_000_000.0
+    return (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+
+
+def _msim_cross_np(cmat, cnorm, qmat, qnorm) -> np.ndarray:
+    """(n,m) integer micro-cosine, zero-safe like cosine_sim."""
+    dots = _fold_dot_cross(cmat, qmat)
+    denom = cnorm[:, None] * qnorm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom == 0.0, 0.0, dots / denom)
+    return _half_up_micro(cos)
+
+
+def _vec_matrix(col, dim: int):
+    """Arrow list<float/double> column -> (mat float64[n, dim], lens).
+
+    Rows whose length differs from dim (or are null, lens == -1) are
+    zero-filled — callers must mask them via lens."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    child = col.values
+    if child.offset != 0:
+        # sliced child: fall back to the safe python materialization
+        pylist = col.to_pylist()
+        lens = np.array(
+            [-1 if v is None else len(v) for v in pylist], dtype=np.int64
+        )
+        mat = np.zeros((len(pylist), dim), dtype=np.float64)
+        for i, v in enumerate(pylist):
+            if v is not None and len(v) == dim:
+                mat[i] = v
+        return mat, lens
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    lens = offs[1:] - offs[:-1]
+    if col.null_count:
+        nulls = np.asarray(col.is_null())
+        lens = np.where(nulls, np.int64(-1), lens)
+    vals = np.asarray(child, dtype=np.float64)
+    n = len(lens)
+    mat = np.zeros((n, dim), dtype=np.float64)
+    good = np.flatnonzero(lens == dim)
+    if good.size and dim:
+        idx = offs[:-1][good][:, None] + np.arange(dim)[None, :]
+        mat[good] = vals[idx]
+    return mat, lens
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Bounded query-set collect: (ids ndarray, qmat (m,d), qnorm) or
+    None when the set is empty/ragged (callers fall back to the
+    expression path).  The query set is a model-sized artifact (same
+    contract as the IVF centroid collect in _cent_struct_array)."""
+    qpd = queries.select(id_col, vec_col).toPandas()
+    if len(qpd) == 0:
+        return None
+    vecs = qpd[vec_col].tolist()
+    if any(v is None for v in vecs):
+        return None
+    lens = {len(v) for v in vecs}
+    if len(lens) != 1 or 0 in lens:
+        return None
+    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+    qids = qpd[id_col].to_numpy()
+    return qids, qmat, _fold_norms(qmat)
+
+
 def _qvec(queries: DataFrame, id_col: str, vec_col: str, broadcast: bool):
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -89,6 +203,77 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "msim")
     )
+
+
+def _rerank_candidates_np(
+    cand: DataFrame,
+    emb: DataFrame,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    qnorm: np.ndarray,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank via the exact-fold numpy kernels: the
+    corpus vector attaches to each candidate row once (one join), the
+    query side rides along as the collected (m, d) matrix — no second
+    vector join, no interpreted per-pair folds.  Emits per-batch local
+    top-k before the global ranking window (same containment argument
+    as _score_corpus_topk)."""
+    import pyarrow as pa
+
+    sel = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    joined = cand.join(sel, "neighbor_id").select(
+        "query_id", "neighbor_id", "cv"
+    )
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in emb.schema.fields
+    )[id_col]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, msim bigint"
+    dim = qmat.shape[1]
+    qpos = {q: i for i, q in enumerate(qids.tolist())}
+
+    def gen(batches):
+        import pandas as pd
+
+        for rb in batches:
+            qcol = rb.column(0).to_numpy(zero_copy_only=False)
+            ncol = rb.column(1).to_numpy(zero_copy_only=False)
+            cmat, _lens = _vec_matrix(rb.column(2), dim)
+            qidx = pd.Series(qcol).map(qpos).to_numpy(dtype=np.int64)
+            cn = _fold_norms(cmat)
+            dots = _fold_dot_rows(cmat, qmat[qidx])
+            denom = cn * qnorm[qidx]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0.0, 0.0, dots / denom)
+            msim = _half_up_micro(cos)
+            # local top-k per query: global order is (msim desc,
+            # neighbor asc), so keeping each query's first k rows in
+            # that order preserves the global top-k set
+            order = np.lexsort((ncol, -msim, qidx))
+            qs = qidx[order]
+            new_grp = np.ones(qs.shape[0], dtype=bool)
+            new_grp[1:] = qs[1:] != qs[:-1]
+            grp_start = np.maximum.accumulate(
+                np.where(new_grp, np.arange(qs.shape[0]), 0)
+            )
+            rank_in_grp = np.arange(qs.shape[0]) - grp_start
+            keep = order[rank_in_grp < k]
+            if keep.size == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qcol[keep], from_pandas=True),
+                    pa.array(ncol[keep], from_pandas=True),
+                    pa.array(msim[keep]),
+                ],
+                names=["query_id", "neighbor_id", "msim"],
+            )
+
+    return _rank_topk(joined.mapInArrow(gen, out_schema), k)
 
 
 def _rerank_candidates(
@@ -132,7 +317,39 @@ def brute_force_topk(
     ids: an id collision there is a coincidence, and dropping it would
     silently delete a legitimate neighbor.  (Same switch on srp_topk
     and ivf_topk.)
+
+    r6: scoring runs in one numpy mapInArrow stage over the corpus —
+    the broadcast query set becomes a collected (m, d) matrix, each
+    corpus batch scores all queries via the exact-fold kernels (bit-
+    identical doubles, see the kernel block above) and emits only its
+    local top-k rows per query, so the global window ranks ~batches*k
+    rows instead of N*Q.  Plan: BatchEvalPython/interpreted folds over
+    a BroadcastNestedLoopJoin -> one MapInArrow scan + tiny window.
+    The expression formulation survives as _brute_force_topk_expr (the
+    fallback for ragged/empty query sets and the parity gate's twin).
     """
+    cq = _collect_queries(queries, id_col, vec_col)
+    if cq is None:
+        return _brute_force_topk_expr(
+            emb, queries, k, id_col, vec_col, exclude_self
+        )
+    qids, qmat, qnorm = cq
+    scored = _score_corpus_topk(
+        emb, qids, qmat, qnorm, k, id_col, vec_col, exclude_self
+    )
+    return _rank_topk(scored, k)
+
+
+def _brute_force_topk_expr(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """The r5 expression formulation (interpreted per-pair folds);
+    fallback + parity twin of the numpy path."""
     q = _qvec(queries, id_col, vec_col, broadcast=True)
     c = _cvec(emb, id_col, vec_col)
     scored = q.crossJoin(c)
@@ -144,6 +361,71 @@ def brute_force_topk(
         _msim(F.col("qv"), F.col("cv")).alias("msim"),
     )
     return _rank_topk(scored, k)
+
+
+def _score_corpus_topk(
+    emb: DataFrame,
+    qids: np.ndarray,
+    qmat: np.ndarray,
+    qnorm: np.ndarray,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """One corpus scan scoring every query per Arrow batch; emits the
+    per-batch top-k candidate rows (query_id, neighbor_id, msim)."""
+    import pyarrow as pa
+
+    sel = emb.select(id_col, vec_col)
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in sel.schema.fields
+    )[id_col]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, msim bigint"
+    dim = qmat.shape[1]
+    m = qmat.shape[0]
+
+    def gen(batches):
+        for rb in batches:
+            ids_arrow = rb.column(rb.schema.get_field_index(id_col))
+            vec_col_a = rb.column(rb.schema.get_field_index(vec_col))
+            ids = ids_arrow.to_numpy(zero_copy_only=False)
+            cmat, lens = _vec_matrix(vec_col_a, dim)
+            cnorm = _fold_norms(cmat)
+            msim = _msim_cross_np(cmat, cnorm, qmat, qnorm)
+            # rows whose vector length differs from the query dim score
+            # exactly 0 in the expression path (zip_with null-pads ->
+            # NULL dot -> coalesce 0) — not the zero-filled matrix value
+            bad = lens != dim
+            if bad.any():
+                msim[bad, :] = 0
+            qi_out, ni_out, ms_out = [], [], []
+            for j in range(m):
+                col = msim[:, j]
+                if exclude_self:
+                    keep = np.flatnonzero(ids != qids[j])
+                else:
+                    keep = np.arange(ids.shape[0])
+                if keep.size == 0:
+                    continue
+                if keep.size > k:
+                    order = np.lexsort((ids[keep], -col[keep]))[:k]
+                    keep = keep[order]
+                qi_out.append(np.full(keep.size, qids[j]))
+                ni_out.append(ids[keep])
+                ms_out.append(col[keep])
+            if not qi_out:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(qi_out), from_pandas=True),
+                    pa.array(np.concatenate(ni_out), from_pandas=True),
+                    pa.array(np.concatenate(ms_out).astype(np.int64)),
+                ],
+                names=["query_id", "neighbor_id", "msim"],
+            )
+
+    return sel.mapInArrow(gen, out_schema)
 
 
 def srp_sketch_udf(
@@ -253,6 +535,16 @@ def srp_topk(
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     cand = cand.select("query_id", "neighbor_id").distinct()
+    if broadcast_queries:
+        # bounded query set: numpy exact-fold re-rank (bit-identical
+        # msims, see the r6 kernel block) — one vector join instead of
+        # two plus no interpreted per-pair folds
+        cq = _collect_queries(queries, id_col, vec_col)
+        if cq is not None:
+            qids, qmat, qnorm = cq
+            return _rerank_candidates_np(
+                cand, emb, qids, qmat, qnorm, k, id_col, vec_col
+            )
     q = _qvec(queries, id_col, vec_col, broadcast_queries)
     c = _cvec(emb, id_col, vec_col)
     return _rerank_candidates(cand, q, c, k)
@@ -400,6 +692,59 @@ def ivf_assign_matmul(
     )
 
 
+def _ivf_assign_np(
+    emb: DataFrame,
+    cents_pd: "pd.DataFrame",
+    nprobe: int,
+    id_alias: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_assign with exact-fold numpy scoring (r6): bit-identical to
+    the expression path — the fold kernels reproduce the JVM doubles
+    exactly (not just the argmax, unlike ivf_assign_matmul's
+    normalize-first formulation), HALF_UP micro-rounding, stable
+    tie-break centroid_id ASC.  One mapInArrow scan, no crossJoin
+    against the broadcast centroid struct."""
+    import pyarrow as pa
+
+    order = np.argsort(cents_pd["centroid_id"].to_numpy(), kind="stable")
+    cent_ids = cents_pd["centroid_id"].to_numpy()[order]
+    cmat = np.asarray(
+        [np.asarray(v, dtype=np.float64)
+         for v in cents_pd["cvec"].to_numpy()[order]]
+    )
+    cnorm = _fold_norms(cmat)
+    dim = cmat.shape[1]
+    sel = emb.select(id_col, vec_col)
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in sel.schema.fields
+    )[id_col]
+    out_schema = f"{id_alias} {id_type}, cell {id_type}"
+    np_probe = min(nprobe, cmat.shape[0])
+
+    def gen(batches):
+        for rb in batches:
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            mat, _lens = _vec_matrix(rb.column(1), dim)
+            vnorm = _fold_norms(mat)
+            msim = _msim_cross_np(mat, vnorm, cmat, cnorm)
+            # length-mismatched/null vectors: expression cosine is 0
+            # for every cell; the zero-filled matrix row also yields 0
+            # (denominator 0), so no extra masking is needed
+            top = np.argsort(-msim, axis=1, kind="stable")[:, :np_probe]
+            cells = cent_ids[top]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, np_probe), from_pandas=True),
+                    pa.array(cells.reshape(-1), from_pandas=True),
+                ],
+                names=[id_alias, "cell"],
+            )
+
+    return sel.mapInArrow(gen, out_schema)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -428,6 +773,33 @@ def ivf_topk(
     index (/root/reference/src/index/sparse_index.c).
     """
     cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    if broadcast_queries:
+        # bounded query set (r6): the quantizer is already a collected
+        # model artifact (_cent_struct_array broadcasts it); collecting
+        # it as a matrix + the query set lets assignment and re-rank
+        # run through the exact-fold numpy kernels — bit-identical
+        # msims, no interpreted per-pair folds, one vector join
+        cq = _collect_queries(queries, id_col, vec_col)
+        if cq is not None:
+            qids, qmat, qnorm = cq
+            cents_pd = cents.toPandas()
+            corpus_cells = _ivf_assign_np(
+                emb, cents_pd, 1, "neighbor_id", id_col, vec_col
+            )
+            query_cells = F.broadcast(
+                _ivf_assign_np(
+                    queries, cents_pd, nprobe, "query_id", id_col, vec_col
+                )
+            )
+            cand = query_cells.join(corpus_cells, "cell")
+            if exclude_self:
+                cand = cand.filter(
+                    F.col("query_id") != F.col("neighbor_id")
+                )
+            cand = cand.select("query_id", "neighbor_id").distinct()
+            return _rerank_candidates_np(
+                cand, emb, qids, qmat, qnorm, k, id_col, vec_col
+            )
     corpus_cells = ivf_assign(emb, cents, 1, "neighbor_id", id_col, vec_col)
     query_cells = ivf_assign(queries, cents, nprobe, "query_id", id_col, vec_col)
     if broadcast_queries:

@@ -53,17 +53,40 @@ def greedy_champions(
     hit features not covered by earlier picks.
     """
     if queries is None:
-        q_feats = membership.select(F.col("doc_id").alias("q"), "s")
+        # every doc is a query: the (q, cand, s) hit relation is every
+        # ORDERED pair of docs sharing feature s.  r6: generate it from
+        # ONE groupBy(s) + JVM pair expansion instead of the membership
+        # self-join, which shuffled + sorted the exploded feature
+        # relation twice (guide section 2.4).  Groups are bounded by
+        # the caller's df-cap, so the per-key member array is bounded
+        # exactly like an LSH bucket.
+        grouped = (
+            membership.groupBy("s")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("_ds"))
+            .filter(F.size("_ds") >= 2)
+        )
+        ordered = F.flatten(
+            F.transform(
+                F.col("_ds"),
+                lambda x: F.transform(
+                    F.filter(F.col("_ds"), lambda y: y != x),
+                    lambda y: F.struct(x.alias("q"), y.alias("cand")),
+                ),
+            )
+        )
+        hits = grouped.select(
+            "s", F.explode(ordered).alias("p")
+        ).select(F.col("p.q").alias("q"), F.col("p.cand").alias("cand"), "s")
     else:
         q_feats = membership.join(
             F.broadcast(queries.select("doc_id")), "doc_id", "left_semi"
         ).select(F.col("doc_id").alias("q"), "s")
-    cand = membership.select(F.col("doc_id").alias("cand"), "s")
-    hits = (
-        q_feats.join(cand, "s")
-        .filter(F.col("q") != F.col("cand"))
-        .select("q", "cand", "s")
-    )
+        cand = membership.select(F.col("doc_id").alias("cand"), "s")
+        hits = (
+            q_feats.join(cand, "s")
+            .filter(F.col("q") != F.col("cand"))
+            .select("q", "cand", "s")
+        )
 
     def pick_partition(frames):
         import numpy as np

@@ -523,38 +523,90 @@ def semantic_dup_flags(
     same cap/star rule the LSH pass uses; this fixture-sized variant
     keeps the plain within-cell self-join the oracle mirrors.
     """
-    from destor_spark.operators.ann import cosine_sim, ivf_assign, ivf_centroids
+    import numpy as np
 
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
-    cells = ivf_assign(emb, cents, nprobe=1, id_alias="vid", id_col=id_col, vec_col=vec_col)
-    v = emb.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    from destor_spark.operators.ann import (
+        _fold_dot_cross,
+        _fold_norms,
+        _half_up_micro,
+        _ivf_assign_np,
+        ivf_centroids,
     )
-    m = cells.join(v, "vid")
-    a = m.select(
-        F.col("vid").alias("a_id"), F.col("cell"), F.col("_v").alias("_va")
+
+    cents_pd = ivf_centroids(emb, n_cells, id_col, vec_col).toPandas()
+    cells = _ivf_assign_np(
+        emb, cents_pd, 1, "vid", id_col=id_col, vec_col=vec_col
     )
-    b = m.select(
-        F.col("vid").alias("b_id"), F.col("cell"), F.col("_v").alias("_vb")
+    m = cells.join(
+        emb.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("_v")
+        ),
+        "vid",
     )
-    msim = (
-        F.round(cosine_sim(F.col("_va"), F.col("_vb")) * 1_000_000)
-        .cast("bigint")
-    )
-    dups = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(msim >= F.lit(tau_micro))
-        .groupBy(F.col("b_id").alias("vid"))
-        .agg(F.min("a_id").alias("dup_of"))
-    )
-    return (
-        cells.join(dups, "vid", "left")
-        .select(
-            "vid",
-            "cell",
-            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
-            (F.col("dup_of").isNotNull()).alias("is_dup"),
+
+    # r6: the within-cell quadratic verify runs as one numpy kernel per
+    # cell (exact-fold dot/norm kernels from operators/ann.py — the
+    # doubles and the HALF_UP micro-rounding are bit-identical to the
+    # former zip_with/aggregate expression per pair; see the ann.py
+    # kernel block).  The r5 expression self-join scored ~12M
+    # interpreted per-pair folds at sf1 (8 s); the kernel does the same
+    # pairwise matrix in vectorized float64.  Pair semantics unchanged:
+    # a vector is a duplicate iff an earlier (smaller id) SAME-LENGTH
+    # cell-mate has micro-cosine >= tau — cross-length pairs score
+    # msim 0 in the expression form (zip_with null-pads -> NULL dot ->
+    # coalesce 0 < tau), so grouping by vector length drops only pairs
+    # that could never pass tau.
+    def cell_kernel(pdf):
+        import pandas as pd
+
+        vids = pdf["vid"].to_numpy()
+        order = np.argsort(vids, kind="stable")
+        vids = vids[order]
+        vecs = pdf["_v"].to_numpy()[order]
+        cell_vals = pdf["cell"].to_numpy()[order]
+        n = vids.shape[0]
+        dup_of = np.full(n, -1, dtype=np.int64)
+        lens = np.array(
+            [-1 if v is None else len(v) for v in vecs], dtype=np.int64
         )
+        for L in np.unique(lens):
+            if L <= 0:
+                continue
+            gi = np.flatnonzero(lens == L)
+            if gi.size < 2:
+                continue
+            V = np.asarray(
+                [np.asarray(vecs[i], dtype=np.float64) for i in gi]
+            )
+            norms = _fold_norms(V)
+            dots = _fold_dot_cross(V, V)
+            denom = norms[:, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0.0, 0.0, dots / denom)
+            msim = _half_up_micro(cos)
+            gv = vids[gi]
+            # strict id inequality (not index order): duplicate input
+            # ids must not pair with themselves, matching a_id < b_id
+            ok = (msim >= tau_micro) & (gv[:, None] < gv[None, :])
+            has = ok.any(axis=0)
+            first = np.argmax(ok, axis=0)
+            dup_of[gi[has]] = gv[first[has]]
+        return pd.DataFrame(
+            {
+                "vid": vids,
+                "cell": cell_vals,
+                "dup_of": dup_of,
+                "is_dup": dup_of != -1,
+            }
+        )
+
+    vid_type = dict(
+        (f.name, f.dataType.simpleString()) for f in emb.schema.fields
+    )[id_col]
+    return m.groupBy("cell").applyInPandas(
+        cell_kernel,
+        schema=(
+            f"vid {vid_type}, cell {vid_type}, dup_of bigint, "
+            "is_dup boolean"
+        ),
     )

@@ -112,6 +112,73 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kgram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) — exploded distinct K-shingle relation via the fused
+    Arrow kernel; bit-identical rows to
+    `_shingled_docs(...).select(doc_id, explode(sh))` (parity:
+    tests/test_portable_mh.py::test_kgrams_parity*)."""
+    from destor_spark.operators.portable_mh import exploded_kgrams_from_text
+
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    return exploded_kgrams_from_text(d, K)
+
+
+def _mh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh) — the portable md5 MinHash relation, computed by
+    the fused Arrow kernel (operators/portable_mh.py) instead of the
+    r5 expression chain `_portable_minhash(_shingled_docs(...))`.
+    Signatures are bit-identical (min over positions == min over the
+    distinct set; md5 kernel parity pinned in tests/test_md5np.py,
+    operator parity in tests/test_portable_mh.py); at sf1 the
+    expression form evaluated ~10^8 JVM Md5 calls and dominated every
+    portable-minhash query (guide section 4.2: hand whole batches to
+    vectorized kernels)."""
+    from destor_spark.operators.portable_mh import minhash_hex_from_text
+
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    return minhash_hex_from_text(d, NUM_MH, K)
+
+
+def _grouped_pairs(e: DataFrame, key_col: str, id_col: str = "doc_id"):
+    """Co-occurrence pairs via ONE groupBy on the feature key instead
+    of the r5 self-join: (id, key) -> (doc_a < doc_b, n_common).
+
+    The self-join formulation shuffled the exploded feature relation
+    TWICE (both join sides) plus sorted both for the SMJ; grouping by
+    key shuffles it once (guide section 2.4 — two operations keyed the
+    same way share one exchange), and the i<j pair combinations are
+    generated JVM-side from the per-key sorted id array (the same
+    _combos shape the LSH bucket pass uses).  Callers apply the DF_CAP
+    hot-key anti-join FIRST, so every group is bounded by DF_CAP —
+    collect_list never holds an unbounded bucket (the scale guard the
+    LSH pass gets from cap/star).  Pair counts are identical: each
+    (a, b, key) co-occurrence appears exactly once per key (the e
+    relation is distinct per (id, key) by construction)."""
+    ds = F.array_sort(F.collect_list(id_col))
+    grouped = (
+        e.groupBy(key_col)
+        .agg(ds.alias("_ds"))
+        .filter(F.size("_ds") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("_ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ds"), i + 2, F.size("_ds")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(combos).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
+        .groupBy(
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -253,8 +320,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (verification-style join;
     destor similarity scoring = shared-feature counting,
     /root/reference/src/index/similarity_detection.c:85-98)."""
-    sh = _shingled_docs(spark, sf_dir)
-    e0 = sh.select("doc_id", F.explode("sh").alias("s"))
+    # r6: the exploded distinct-shingle relation comes from the fused
+    # Arrow kernel (operators/portable_mh.exploded_kgrams_from_text) —
+    # the r5 interpreted transform/array_join/array_distinct chain cost
+    # 16 s per pass at sf1 and ran twice (hot agg + anti-join input)
+    e0 = _kgram_docs(spark, sf_dir)
     # df cap: drop boilerplate shingles (see DF_CAP).  hot is tiny ->
     # broadcast anti-join; e0 is scanned once for the aggregate (map-side
     # partial) and once for the join.
@@ -264,19 +334,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > DF_CAP)
         .select("s")
     )
-    # barrier: e is consumed 3x below (sizes + both join sides); without
-    # it each consumer re-runs the scan+tokenize+shingle lineage
+    # barrier: e is consumed twice below (sizes + the grouped pair
+    # pass); without it each consumer re-runs scan+tokenize+shingle
     e = _barrier(e0.join(F.broadcast(hot), "s", "left_anti"), "ngram_e")
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        e.alias("a")
-        .join(e.alias("b"), "s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
+    # r6: one groupBy(s) + JVM pair combos instead of the e-vs-e
+    # self-join (which shuffled + sorted e twice) — see _grouped_pairs
+    inter = _grouped_pairs(e, "s")
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("n", "na")
@@ -340,19 +404,20 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (doc_src, doc_in) with containment >= 0.8.  destor scoring
     analogue: shared-feature counting normalized by the QUERY side's
     feature count (/root/reference/src/index/similarity_detection.c:85-98)."""
-    d = _spread(_t(spark, sf_dir, "documents")).select(
-        "doc_id", _tokens(F.col("text")).alias("w")
-    )
+    from destor_spark.operators.portable_mh import exploded_kgrams_from_text
+
+    # r6: shingles via the fused Arrow kernel (see _kgram_docs).  The
+    # planted excerpt rows re-enter as TEXT (their tokens joined by
+    # single spaces): tokens contain no ' ' and no empties, so
+    # re-splitting the joined text yields the identical token list and
+    # hence identical shingles.
+    d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    w = _tokens(F.col("text"))
     exc = d.filter(F.col("doc_id") % 13 == 2).select(
         (F.col("doc_id") + _CONT_EXC_OFF).alias("doc_id"),
-        F.slice("w", 1, _CONT_EXC_WORDS).alias("w"),
+        F.array_join(F.slice(w, 1, _CONT_EXC_WORDS), " ").alias("text"),
     )
-    sh = (
-        d.unionByName(exc)
-        .filter(F.size("w") >= K)
-        .select("doc_id", _shingles(F.col("w")).alias("sh"))
-    )
-    e0 = sh.select("doc_id", F.explode("sh").alias("s"))
+    e0 = exploded_kgrams_from_text(d.unionByName(exc), K)
     hot = (
         e0.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -361,15 +426,22 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = _barrier(e0.join(F.broadcast(hot), "s", "left_anti"), "cont_e")
     sizes = e.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        e.alias("a")
-        .join(e.alias("b"), "s")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_src"),
-            F.col("b.doc_id").alias("doc_in"),
+    # r6: shared-shingle counts are symmetric, so the ordered (doc_src,
+    # doc_in) relation is the unordered grouped-pair relation emitted
+    # in both orientations — one groupBy(s) shuffle instead of the
+    # double-shuffled self-join (see _grouped_pairs), half the
+    # aggregation rows
+    un = _grouped_pairs(e, "s")
+    inter = un.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_in"),
+        "n_common",
+    ).unionByName(
+        un.select(
+            F.col("doc_b").alias("doc_src"),
+            F.col("doc_a").alias("doc_in"),
+            "n_common",
         )
-        .agg(F.count("*").alias("n_common"))
     )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_src"), "doc_src")
@@ -417,11 +489,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (destor min-fp sampling, /root/reference/src/index/sampling_method.c:12-76),
     banded {MH_BANDS}x{MH_ROWS}, candidates = shared band, output =
     signature agreement count (>= half)."""
-    sh = _shingled_docs(spark, sf_dir)
     # consumed by banding + two signature joins: barrier so the
     # 16x|shingles| md5 evaluations run once, not once per consumer
     # (and never through the pathological array columnar cache).
-    mh = _barrier(_portable_minhash(sh), "q_minhash_mh")
+    # r6: signatures come from the fused md5 Arrow kernel (_mh_docs)
+    # instead of the JVM expression chain — bit-identical values.
+    mh = _barrier(_mh_docs(spark, sf_dir), "q_minhash_mh")
     bands = _mh_bands(mh)
     cand = (
         bands.alias("a")
@@ -537,10 +610,20 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta = the same planted batch as incremental_dedup: exact
     re-crawls link at n_match = NUM_MH, ' v2'/' v3' edits link as true
     near-dups (append-only edits keep every original shingle)."""
-    base_sh = _shingled_docs(spark, sf_dir)
-    delta_sh = _shingles_of(_planted_delta(spark, sf_dir))
-    mh_base = _barrier(_portable_minhash(base_sh), "inc_mh_base")
-    mh_delta = _barrier(_portable_minhash(delta_sh), "inc_mh_delta")
+    from destor_spark.operators.portable_mh import minhash_hex_from_text
+
+    # r6: both signature tables via the fused md5 Arrow kernel
+    # (bit-identical to _portable_minhash over _shingled_docs /
+    # _shingles_of — same text, same md5 family)
+    mh_base = _barrier(_mh_docs(spark, sf_dir), "inc_mh_base")
+    mh_delta = _barrier(
+        minhash_hex_from_text(
+            _planted_delta(spark, sf_dir).select("doc_id", "text"),
+            NUM_MH,
+            K,
+        ),
+        "inc_mh_delta",
+    )
     cand = (
         _mh_bands(mh_base)
         .alias("b")
@@ -693,25 +776,20 @@ def _capped_token_grams(
     as ngram_e/cont_e/champ_e).  barrier_docs additionally barriers
     the tokenized doc relation for callers that re-join it per side.
     """
+    from destor_spark.operators.portable_mh import exploded_kgrams_from_text
+
     W = 7
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("w")
     )
     if barrier_docs:
         d = _barrier(d, f"{tag}_docs")
-    g0 = (
-        d.filter(F.size("w") >= W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("w") - F.lit(W - 1)),
-                        lambda i: F.array_join(F.slice(F.col("w"), i, W), " "),
-                    )
-                )
-            ).alias("gram"),
-        )
+    # r6: distinct 7-gram explode via the fused Arrow kernel (see
+    # _kgram_docs — same machinery, W-wide grams, out_col 'gram')
+    g0 = exploded_kgrams_from_text(
+        _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text"),
+        W,
+        out_col="gram",
     )
     # df cap on grams, same rationale + identical oracle predicate as
     # q_ngram_jaccard_pairs (see DF_CAP).
@@ -730,14 +808,10 @@ def q_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-checkable twin of the anchored-gram substring pass
     (operators/substring.py; destor byte-precision dedup)."""
     _d, g = _capped_token_grams(spark, sf_dir, "span_g")
-    return (
-        g.alias("a")
-        .join(g.alias("b"), "gram")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_spans"))
+    # r6: one groupBy(gram) + JVM combos instead of the double-shuffled
+    # self-join (see _grouped_pairs); identical counts
+    return _grouped_pairs(g, "gram").withColumnRenamed(
+        "n_common", "n_spans"
     )
 
 
@@ -790,15 +864,10 @@ def q_sa_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets: operators/substring.longest_span_pairs.
     """
     d, g = _capped_token_grams(spark, sf_dir, "sa_g", barrier_docs=True)
-    cand = (
-        g.alias("a")
-        .join(g.alias("b"), "gram")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    # r6: grouped pair generation (one groupBy(gram) shuffle) instead
+    # of the double-shuffled self-join; the n_common count is dropped —
+    # only the distinct pair set feeds the SA verify
+    cand = _grouped_pairs(g, "gram").select("doc_a", "doc_b")
     run = _sa_run_udf()
     return (
         cand.join(
@@ -1645,45 +1714,22 @@ def q_dedup_pipeline_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau=0.5,
         bucket_cap=PIPE_BUCKET_CAP,
     )
+    from destor_spark.operators.portable_mh import pipeline_sigs_from_text
+
     pages = _pipeline_pages(spark, sf_dir)
 
-    toks = _tokens(F.col("text"))
-    sh = F.when(F.size(toks) >= K, _shingles(toks)).otherwise(
-        F.array().cast("array<string>")
-    )
-    raw = pages.select(
-        "url",
-        "warc_ts",
-        F.sha2(F.col("text"), 256).alias("content_sha"),
-        sh.alias("sh"),
-    )
-    sigs = raw.select(
-        "url",
-        "warc_ts",
-        "content_sha",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(NUM_MH - 1)),
-            lambda p: F.array_min(
-                F.transform(
-                    F.col("sh"),
-                    lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s)),
-                )
-            ),
-        ).alias("sig"),
-        F.size("sh").alias("n_shingles"),
-    )
-    sigs = sigs.withColumn(
-        "band_keys",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(MH_BANDS - 1)),
-            lambda b: F.array_join(
-                F.slice(F.col("sig"), b * MH_ROWS + 1, MH_ROWS), "|"
-            ),
-        ),
-    )
     # one text scan feeds exact + LSH + verify (same fusion as
-    # run_pipeline's sigs barrier)
-    sigs = _barrier(sigs, "pipe_sigs")
+    # run_pipeline's sigs barrier).  r6: sha256 + shingles + the 16 md5
+    # minima + band keys all come from the fused Arrow kernel
+    # (operators/portable_mh.py) — bit-identical to the r5 expression
+    # chain (parity: tests/test_portable_mh.py::test_pipeline_sigs_*),
+    # without the ~10^8 per-(p, shingle) JVM Md5 calls.
+    sigs = _barrier(
+        pipeline_sigs_from_text(
+            _spread(pages), NUM_MH, MH_BANDS, MH_ROWS, K
+        ),
+        "pipe_sigs",
+    )
 
     exact_edges = exact_op.exact_pairs(
         sigs.select("url", "warc_ts", "content_sha")
@@ -1797,8 +1843,8 @@ def q_champion_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas reference in tests/test_champions.py."""
     from destor_spark.operators.champions import greedy_champions
 
-    sh = _shingled_docs(spark, sf_dir)
-    e0 = sh.select("doc_id", F.explode("sh").alias("s"))
+    # r6: exploded shingles via the fused Arrow kernel (see _kgram_docs)
+    e0 = _kgram_docs(spark, sf_dir)
     # df cap (see DF_CAP): destor scores on SAMPLED features, never on
     # corpus-wide boilerplate — and a hot shingle would blow up the
     # query-candidate hit join
@@ -2277,7 +2323,10 @@ def q_cdc_chunk_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only stage — no shuffle."""
     from destor_spark.operators.cdc import chunk_invariants
 
-    d = _t(spark, sf_dir, "documents")
+    # _spread (r6): the chunk kernel is a CPU-bound Python stage; the
+    # single-file sf table yields ~12 row-group-skewed splits on 32
+    # cores — same file-count gate as the signature stages (guide §2)
+    d = _spread(_t(spark, sf_dir, "documents"))
     return chunk_invariants(
         d, algo="rabin", min_size=32, avg_size=128, max_size=1024
     ).select("doc_id", "total_bytes", "reassembled_md5")
