@@ -136,10 +136,13 @@ def _doc_minhash_hex(
     """
     n_seg = seg_starts.shape[0]
     out: list[list[str]] = [[None] * num_mh for _ in range(n_seg)]
+    # one padded-matrix build per prefix LENGTH, 16 compression passes
+    # (construction was ~75% of the per-prefix kernel cost)
+    digs = md5np.md5_digests_prefixes(
+        nb, s_start, s_len, [f"{p}:".encode() for p in range(num_mh)]
+    )
     for p in range(num_mh):
-        dig = md5np.md5_digests(
-            nb, s_start, s_len, prefix=f"{p}:".encode()
-        )
+        dig = digs[p]
         win = md5np.segmented_min_digest(dig, seg_starts)
         hexes = md5np.digests_to_hex(dig[win])
         for j in range(n_seg):

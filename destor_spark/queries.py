@@ -618,7 +618,9 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh_base = _barrier(_mh_docs(spark, sf_dir), "inc_mh_base")
     mh_delta = _barrier(
         minhash_hex_from_text(
-            _planted_delta(spark, sf_dir).select("doc_id", "text"),
+            # _spread: the delta union derives from one parquet file ->
+            # ~12 row-group splits; the CPU-bound kernel needs all cores
+            _spread(_planted_delta(spark, sf_dir).select("doc_id", "text")),
             NUM_MH,
             K,
         ),

@@ -60,6 +60,24 @@ def test_md5_unordered_spans():
         assert hexes[i] == want
 
 
+def test_multi_prefix_equals_per_prefix():
+    from destor_spark.md5np import md5_digests_prefixes
+
+    rng = random.Random(3)
+    msgs = [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        for _ in range(400)
+    ]
+    data, starts, lens = _spans(msgs)
+    prefixes = [f"{p}:".encode() for p in range(16)]
+    multi = md5_digests_prefixes(data, starts, lens, prefixes)
+    for pi, p in enumerate(prefixes):
+        single = md5_digests(data, starts, lens, prefix=p)
+        assert (multi[pi] == single).all(), p
+        for i, m in enumerate(msgs):
+            assert bytes(multi[pi, i]) == hashlib.md5(p + m).digest()
+
+
 def test_segmented_min_matches_python():
     rng = random.Random(99)
     msgs = [

@@ -47,12 +47,19 @@ def test_broadcast_join_dims(spark):
 
 
 def test_ann_broadcast_no_shuffle(spark):
+    """Brute-force top-k scores the corpus in ONE numpy mapInArrow scan
+    (the collected query matrix rides in the task closure): no join of
+    the corpus at all — r5's shape was a BroadcastNestedLoopJoin with
+    interpreted per-pair folds, r6 emits per-batch local top-k rows so
+    only ~batches*k*q rows reach the ranking window's exchange."""
     from destor_spark.operators.ann import brute_force_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = brute_force_topk(emb, emb.filter("vec_id % 100 = 0"), k=5)
     plan = _plan(q)
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInArrow" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan  # corpus is never joined, only scanned
 
 
 def test_champion_plan_shape(spark):
