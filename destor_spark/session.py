@@ -252,4 +252,43 @@ def build_session(
         b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    sess = b.getOrCreate()
+    if not os.environ.get("SPARK_GRAFT_NO_PREWARM"):
+        _prewarm_python_workers(sess, n_workers)
+    return sess
+
+
+def _prewarm_python_workers(spark: SparkSession, n_workers: int) -> None:
+    """Spawn the Python UDF worker pool and pre-import the kernel
+    modules at session build (engine initialization, same category as
+    JVM warmup).
+
+    Python workers are forked lazily at the FIRST Arrow/pandas stage
+    and then import numpy/pyarrow/the kernel modules — measured ~4-6 s
+    of one-time cost that otherwise lands inside whichever query
+    happens to run a Python stage first.  Pre-warming moves that cost
+    to session construction where it overlaps the rest of app startup;
+    reused workers (spark.python.worker.reuse, default on) keep the
+    warm pool for every subsequent stage.  Opt out with
+    SPARK_GRAFT_NO_PREWARM=1 (e.g. ultra-short-lived sessions)."""
+
+    def gen(batches):
+        import numpy  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        from destor_spark import hashing, md5np  # noqa: F401
+
+        for rb in batches:
+            yield rb
+
+    try:
+        (
+            spark.range(n_workers * 4)
+            .repartition(n_workers)
+            .mapInArrow(gen, "id long")
+            .count()
+        )
+    except Exception:
+        # prewarm is best-effort: a failure (e.g. exotic master without
+        # python worker support yet) must never block session build
+        pass
