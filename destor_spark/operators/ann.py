@@ -121,6 +121,19 @@ def _msim_cross_np(cmat, cnorm, qmat, qnorm) -> np.ndarray:
     return _half_up_micro(cos)
 
 
+def _list_lengths(col) -> np.ndarray:
+    """Arrow list column -> per-row lengths (int64; null rows -1)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    lens = offs[1:] - offs[:-1]
+    if col.null_count:
+        lens = np.where(np.asarray(col.is_null()), np.int64(-1), lens)
+    return lens
+
+
 def _vec_matrix(col, dim: int):
     """Arrow list<float/double> column -> (mat float64[n, dim], lens).
 
@@ -274,6 +287,61 @@ def _rerank_candidates_np(
             )
 
     return _rank_topk(joined.mapInArrow(gen, out_schema), k)
+
+
+def pairwise_msim_np(
+    df: DataFrame, va_col: str, vb_col: str, out_col: str = "msim"
+) -> DataFrame:
+    """Adds the integer micro-cosine of two vector columns via the
+    exact-fold kernels (bit-identical to
+    `F.round(cosine_sim(va, vb) * 1e6).cast('bigint')`).
+
+    Length semantics mirror the expression form: rows whose two vectors
+    differ in length (or where either is null) score exactly 0 —
+    zip_with null-pads the shorter side, the dot becomes NULL and
+    cosine_sim coalesces to 0.0.  Equal-length rows are grouped by
+    their dimension and scored with one vectorized fold per group."""
+    import pyarrow as pa
+
+    in_fields = [f for f in df.schema.fields]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in in_fields
+        if f.name not in (va_col, vb_col)
+    ) + f", {out_col} bigint"
+    keep_names = [
+        f.name for f in in_fields if f.name not in (va_col, vb_col)
+    ]
+
+    def gen(batches):
+        for rb in batches:
+            ia = rb.schema.get_field_index(va_col)
+            ib = rb.schema.get_field_index(vb_col)
+            ca, cb = rb.column(ia), rb.column(ib)
+            n = rb.num_rows
+            msim = np.zeros(n, dtype=np.int64)
+            # per-dimension groups; cross-length rows stay msim 0
+            la = _list_lengths(ca)
+            lb = _list_lengths(cb)
+            eq = (la == lb) & (la > 0)
+            for d in np.unique(la[eq]):
+                gi = np.flatnonzero(eq & (la == d))
+                A, _ = _vec_matrix(ca.take(pa.array(gi)), int(d))
+                B, _ = _vec_matrix(cb.take(pa.array(gi)), int(d))
+                dots = _fold_dot_rows(A, B)
+                denom = _fold_norms(A) * _fold_norms(B)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom == 0.0, 0.0, dots / denom)
+                msim[gi] = _half_up_micro(cos)
+            cols = [
+                rb.column(rb.schema.get_field_index(k)) for k in keep_names
+            ]
+            cols.append(pa.array(msim))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=keep_names + [out_col]
+            )
+
+    return df.mapInArrow(gen, out_schema)
 
 
 def _rerank_candidates(
@@ -881,7 +949,7 @@ def srp_near_dup_pairs(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    return (
+    joined = (
         cand.select(
             F.least("url_a", "url_b").alias("vec_a"),
             F.greatest("url_a", "url_b").alias("vec_b"),
@@ -890,12 +958,12 @@ def srp_near_dup_pairs(
               "vec_a")
         .join(v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb")),
               "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine_sim(F.col("va"), F.col("vb")) * 1_000_000)
-            .cast("bigint")
-            .alias("msim"),
-        )
+    )
+    # r6: exact-cosine verification via the exact-fold numpy kernel
+    # (bit-identical msims to the former per-pair zip_with expression);
+    # explicit select pins the output column ORDER the joins disturbed
+    return (
+        pairwise_msim_np(joined, "va", "vb")
         .filter(F.col("msim") >= threshold_micro)
+        .select("vec_a", "vec_b", "msim")
     )

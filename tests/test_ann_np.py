@@ -94,6 +94,69 @@ def test_ivf_topk_np_equals_expr_path(spark, emb):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_pairwise_msim_np_equals_expr(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),     # exact twin -> 1e6
+        (1, [0.5, 0.5, 0.0], [0.2, -0.4, 0.9]),
+        (2, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),     # zero norm -> 0
+        (3, [1.0, 0.0], [1.0, 0.0, 0.0]),          # ragged -> 0
+        (4, [1.0, 0.0], [0.6, 0.8]),               # 2-dim group
+        (5, [-1.0, 2.0, -3.0], [4.0, -5.0, 6.0]),  # negative cosine
+    ]
+    pdf = pd.DataFrame(rows, columns=["pid", "va", "vb"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        ann.pairwise_msim_np(df, "va", "vb")
+        .toPandas().sort_values("pid").reset_index(drop=True)
+    )
+    want = (
+        df.select(
+            "pid",
+            (
+                F.round(ann.cosine_sim(F.col("va"), F.col("vb")) * 1_000_000)
+                .cast("bigint")
+                .alias("msim")
+            ),
+        )
+        .toPandas().sort_values("pid").reset_index(drop=True)
+    )
+    assert list(got["msim"]) == list(want["msim"])
+
+
+def test_srp_near_dup_pairs_matches_brute(spark, emb):
+    """The kernel-verified bucketed pairs still equal the brute-force
+    relation on the fixture (the bucketed query's oracle contract)."""
+    from pyspark.sql import functions as FF
+
+    planted = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(FF.col("vec_id") < 8).select(
+            (FF.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    got = (
+        ann.srp_near_dup_pairs(planted, dim=64)
+        .toPandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )
+    a = planted.select(FF.col("vec_id").alias("vec_a"),
+                       FF.col("embedding").alias("ea"))
+    b = planted.select(FF.col("vec_id").alias("vec_b"),
+                       FF.col("embedding").alias("eb"))
+    va = FF.transform(FF.col("ea"), lambda x: x.cast("double"))
+    vb = FF.transform(FF.col("eb"), lambda x: x.cast("double"))
+    brute = (
+        a.crossJoin(b)
+        .filter(FF.col("vec_a") < FF.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            FF.round(ann.cosine_sim(va, vb) * 1_000_000)
+            .cast("bigint").alias("msim"),
+        )
+        .filter(FF.col("msim") >= 990_000)
+        .toPandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, brute, check_dtype=False)
+
+
 def test_fold_kernels_match_python_fold():
     rng = np.random.default_rng(5)
     A = rng.standard_normal((17, 9))
