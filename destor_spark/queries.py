@@ -765,18 +765,15 @@ SQL_SIMHASH = (
 )
 
 
-def _capped_token_grams(
-    spark: SparkSession, sf_dir: str, tag: str, barrier_docs: bool = False
-):
+def _capped_token_grams(spark: SparkSession, sf_dir: str, tag: str):
     """(docs, grams): the 7-token contiguous-gram relation with DF_CAP
     hot-gram removal — ONE definition shared by q_substring_span_pairs
     and q_sa_longest_span (the gram width and the cap predicate are
     oracle-parity-critical, so they must not fork between the two).
-    `grams` is parquet-barriered: it feeds both self-join sides plus
-    the hot aggregate, and without the barrier the scan+tokenize+
-    explode lineage re-runs once per consumer subtree (the same fix
-    as ngram_e/cont_e/champ_e).  barrier_docs additionally barriers
-    the tokenized doc relation for callers that re-join it per side.
+    `grams` is parquet-barriered: it feeds the grouped pair pass plus
+    the hot aggregate, and without the barrier the kernel lineage
+    re-runs once per consumer subtree (the same fix as
+    ngram_e/cont_e/champ_e).
     """
     from destor_spark.operators.portable_mh import exploded_kgrams_from_text
 
@@ -784,8 +781,6 @@ def _capped_token_grams(
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", _tokens(F.col("text")).alias("w")
     )
-    if barrier_docs:
-        d = _barrier(d, f"{tag}_docs")
     # r6: distinct 7-gram explode via the fused Arrow kernel (see
     # _kgram_docs — same machinery, W-wide grams, out_col 'gram')
     g0 = exploded_kgrams_from_text(
@@ -837,15 +832,27 @@ def _sa_run_udf():
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
-    def run_len(wa, wb):
+    def run_len(ta, tb):
         import pandas as pd
 
         from destor_spark.suffix import longest_common_token_run
 
+        # r6: the kernel receives raw TEXT (not pre-tokenized arrays)
+        # and tokenizes with the portable split-on-' ' rule, memoized
+        # per unique text — a doc in d candidate pairs tokenizes once
+        # per batch instead of shipping its token array d times
+        memo: dict = {}
+
+        def toks(s):
+            r = memo.get(s)
+            if r is None:
+                r = memo[s] = [t for t in (s or "").split(" ") if t]
+            return r
+
         return pd.Series(
             [
-                longest_common_token_run(a, b)[0]
-                for a, b in zip(wa.tolist(), wb.tolist())
+                longest_common_token_run(toks(a), toks(b))[0]
+                for a, b in zip(ta.tolist(), tb.tolist())
             ]
         )
 
@@ -865,23 +872,31 @@ def q_sa_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable by construction).  Char-level production form with span
     offsets: operators/substring.longest_span_pairs.
     """
-    d, g = _capped_token_grams(spark, sf_dir, "sa_g", barrier_docs=True)
+    _d, g = _capped_token_grams(spark, sf_dir, "sa_g")
     # r6: grouped pair generation (one groupBy(gram) shuffle) instead
     # of the double-shuffled self-join; the n_common count is dropped —
-    # only the distinct pair set feeds the SA verify
+    # only the distinct pair set feeds the SA verify.  The verify joins
+    # raw TEXT (denser than the former token-array relation, and no
+    # tokenized-docs barrier write) — the SA kernel tokenizes with the
+    # identical split-on-' ' rule, memoized per unique text.
     cand = _grouped_pairs(g, "gram").select("doc_a", "doc_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     run = _sa_run_udf()
     return (
         cand.join(
-            d.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a")),
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("text").alias("t_a")
+            ),
             "doc_a",
         )
         .join(
-            d.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b")),
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("text").alias("t_b")
+            ),
             "doc_b",
         )
         .select(
-            "doc_a", "doc_b", run(F.col("w_a"), F.col("w_b")).alias("span_len")
+            "doc_a", "doc_b", run(F.col("t_a"), F.col("t_b")).alias("span_len")
         )
     )
 
