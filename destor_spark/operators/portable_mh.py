@@ -216,6 +216,7 @@ def exploded_kgrams_from_text(
     id_cols: tuple[str, ...] = ("doc_id",),
     text_col: str = "text",
     out_col: str = "s",
+    digests: bool = False,
 ) -> DataFrame:
     """(ids..., text) -> (ids..., s) — one row per DISTINCT space-joined
     word k-gram per document (docs with >= k tokens), the fused
@@ -232,17 +233,27 @@ def exploded_kgrams_from_text(
     per-document distinct is decided on md5 digests of the gram bytes
     (exact unless two DIFFERENT grams of one document collide in md5 —
     the same identification the query surface makes everywhere md5 is
-    the join key, e.g. exact_dup_groups / segment hashes).  Output gram
-    STRINGS are exact byte copies; only the dedup decision uses the
-    digest.  Parity: tests/test_portable_mh.py::test_kgrams_parity*.
+    the join key, e.g. exact_dup_groups / segment hashes).
+
+    digests=False: the output column carries the gram STRING (exact
+    byte copy; only the dedup decision uses the digest).
+    digests=True: the output column carries the 16-byte md5 DIGEST
+    instead (BinaryType).  Valid whenever the consumer uses the gram
+    only as an IDENTITY (equality joins / group keys / df counts —
+    every pair query here: no output ever contains a gram), the same
+    md5-as-key move `decontamination` already ships; ~2-3x fewer key
+    bytes through every downstream shuffle and byte-array instead of
+    string comparisons.  Exact under the identification above.
+    Parity: tests/test_portable_mh.py::test_kgrams_parity*.
     """
     import pyarrow as pa
 
     sel = df.select(*id_cols, text_col)
     keep = [f for f in sel.schema.fields if f.name != text_col]
+    out_type = "binary" if digests else "string"
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in keep
-    ) + f", {out_col} string"
+    ) + f", {out_col} {out_type}"
     names = [f.name for f in keep] + [out_col]
 
     def gen(batches):
@@ -266,20 +277,32 @@ def exploded_kgrams_from_text(
                 (dd[1:] != dd[:-1]) | (hh[1:] != hh[:-1]) | (ll[1:] != ll[:-1])
             )
             kept = order[first]
-            ks, kl = s_start[kept], s_len[kept]
-            out_off = np.zeros(kept.shape[0] + 1, dtype=np.int64)
-            np.cumsum(kl, out=out_off[1:])
-            tot = int(out_off[-1])
-            gather = (
-                np.arange(tot, dtype=np.int64)
-                + np.repeat(ks - out_off[:-1], kl)
-            )
-            data = nb[gather] if tot else np.empty(0, np.uint8)
-            s_arr = pa.Array.from_buffers(
-                pa.large_string(),
-                kept.shape[0],
-                [None, pa.py_buffer(out_off), pa.py_buffer(data)],
-            ).cast(pa.string())
+            nk = kept.shape[0]
+            if digests:
+                flat = np.ascontiguousarray(dig[kept]).reshape(-1)
+                out_off = (
+                    np.arange(nk + 1, dtype=np.int32) * np.int32(16)
+                )
+                s_arr = pa.Array.from_buffers(
+                    pa.binary(),
+                    nk,
+                    [None, pa.py_buffer(out_off), pa.py_buffer(flat)],
+                )
+            else:
+                ks, kl = s_start[kept], s_len[kept]
+                out_off = np.zeros(nk + 1, dtype=np.int64)
+                np.cumsum(kl, out=out_off[1:])
+                tot = int(out_off[-1])
+                gather = (
+                    np.arange(tot, dtype=np.int64)
+                    + np.repeat(ks - out_off[:-1], kl)
+                )
+                data = nb[gather] if tot else np.empty(0, np.uint8)
+                s_arr = pa.Array.from_buffers(
+                    pa.large_string(),
+                    nk,
+                    [None, pa.py_buffer(out_off), pa.py_buffer(data)],
+                ).cast(pa.string())
             idx = pa.array(doc_of[kept], type=pa.int64())
             cols = [
                 rb.column(rb.schema.get_field_index(f.name)).take(idx)

@@ -114,13 +114,19 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kgram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, s) — exploded distinct K-shingle relation via the fused
-    Arrow kernel; bit-identical rows to
-    `_shingled_docs(...).select(doc_id, explode(sh))` (parity:
-    tests/test_portable_mh.py::test_kgrams_parity*)."""
+    Arrow kernel, with s = the gram's 16-byte md5 DIGEST: every
+    consumer (hot-df cap, anti-join, co-occurrence pairs, champion
+    hits) uses the gram only as an equality identity and no output
+    ever contains a gram, so the digest is an exact stand-in (modulo
+    md5 collision — the identification the surface makes everywhere
+    md5 is the key) at ~2-3x fewer key bytes per shuffle.  String-mode
+    parity vs the r5 expression chain:
+    tests/test_portable_mh.py::test_kgrams_parity*; digest-mode
+    equivalence: test_kgrams_digest_join_equivalence."""
     from destor_spark.operators.portable_mh import exploded_kgrams_from_text
 
     d = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
-    return exploded_kgrams_from_text(d, K)
+    return exploded_kgrams_from_text(d, K, digests=True)
 
 
 def _mh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,7 +423,8 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + _CONT_EXC_OFF).alias("doc_id"),
         F.array_join(F.slice(w, 1, _CONT_EXC_WORDS), " ").alias("text"),
     )
-    e0 = exploded_kgrams_from_text(d.unionByName(exc), K)
+    # digests=True: shingles are pure identities here (see _kgram_docs)
+    e0 = exploded_kgrams_from_text(d.unionByName(exc), K, digests=True)
     hot = (
         e0.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -782,11 +789,13 @@ def _capped_token_grams(spark: SparkSession, sf_dir: str, tag: str):
         "doc_id", _tokens(F.col("text")).alias("w")
     )
     # r6: distinct 7-gram explode via the fused Arrow kernel (see
-    # _kgram_docs — same machinery, W-wide grams, out_col 'gram')
+    # _kgram_docs — same machinery, W-wide grams, out_col 'gram');
+    # digests=True: grams are pure identities in both consumers
     g0 = exploded_kgrams_from_text(
         _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text"),
         W,
         out_col="gram",
+        digests=True,
     )
     # df cap on grams, same rationale + identical oracle predicate as
     # q_ngram_jaccard_pairs (see DF_CAP).

@@ -106,6 +106,29 @@ def test_kgrams_parity_adversarial(spark, adv_docs, k):
     assert want == got
 
 
+def test_kgrams_digest_join_equivalence(spark, adv_docs):
+    """Digest mode is an exact identity stand-in: the digest relation's
+    per-key doc-sets equal the string relation's (bijective key
+    mapping), so every join/group/count downstream is unchanged."""
+    import hashlib
+
+    from destor_spark.operators.portable_mh import exploded_kgrams_from_text
+
+    for k in (5, 7):
+        s_rows = exploded_kgrams_from_text(adv_docs, k).toPandas()
+        d_rows = exploded_kgrams_from_text(
+            adv_docs, k, digests=True
+        ).toPandas()
+        want = sorted(
+            (int(r.doc_id), hashlib.md5(r.s.encode()).digest())
+            for r in s_rows.itertuples()
+        )
+        got = sorted(
+            (int(r.doc_id), bytes(r.s)) for r in d_rows.itertuples()
+        )
+        assert want == got
+
+
 def test_kgrams_parity_fixture(spark):
     from destor_spark.operators.portable_mh import exploded_kgrams_from_text
 
