@@ -250,8 +250,16 @@ def run_pipeline(
     # collect_list groupBy — the job's largest shuffle — from the sigs
     # barrier a second time.
     bucket_stats = lsh_op.bucket_stats_only(lsh_op.explode_bands(sigs), cfg)
-    pairs = _materialize(pairs, "pairs", root)
-    verified = _materialize(verify_op.verify_pairs(pairs, sigs, cfg), "verified", root)
+    # pairs and verified are SINGLE-consumer links in the chain
+    # sigs -> pairs -> verified -> edges (the edges barrier below
+    # materializes the whole chain once): barriering them bought no
+    # recompute protection and cost two parquet write+read cycles —
+    # measured r6 A/B (min of 2 alternating): 4.68 -> 3.47 s at 5k
+    # docs, 8.55 -> 6.91 s at 50k.  The sigs barrier stays: it feeds
+    # exact + LSH + verify + simhash (4 consumers).  PipelineResult
+    # still exposes both lazily; a caller consuming them recomputes
+    # from the sigs barrier (same lazy contract as exact_edges).
+    verified = verify_op.verify_pairs(pairs, sigs, cfg)
 
     all_edges = _edge_union(
         pages, sigs, exact_edges, verified, cfg, use_simhash, use_substring
