@@ -49,6 +49,16 @@ _INIT = (
     np.uint32(0x10325476),
 )
 
+# Messages processed per internal slice.  The padding build allocates
+# ~(width-plen) x 8 B of gather indices plus the width-byte matrix per
+# message; 64k messages x 64 B blocks keeps every temporary in the
+# tens of MB (the repo-wide malloc-threshold discipline — see
+# hashing._MH_CHUNK) regardless of how large an Arrow batch the caller
+# feeds in (10 KB documents at maxRecordsPerBatch=4096 produce ~6M
+# shingle messages per batch; unchunked that is a multi-GB src
+# matrix).
+_MSG_CHUNK = 1 << 16
+
 _ERR = np.errstate(over="ignore")
 
 
@@ -99,41 +109,74 @@ def md5_digests(
     nblocks = (total + 9 + 63) // 64
     nbuf = data.shape[0]
     for bcount in np.unique(nblocks):
-        idx = np.flatnonzero(nblocks == bcount)
-        L = lengths[idx]
-        S = starts[idx]
-        width = int(bcount) * 64
-        m = idx.shape[0]
-        M = np.zeros((m, width), dtype=np.uint8)
-        if plen:
-            M[:, :plen] = pre[None, :]
-        # unmasked gather + multiply-by-mask: reading past a message's
-        # end (clipped to the buffer) is fine because the mask zeroes
-        # those lanes — ~3x faster than the boolean-indexed scatter
-        # (profiled: padding construction was 85% of kernel time)
-        cols = np.arange(width - plen, dtype=np.int64)[None, :]
-        if nbuf:
-            src = S[:, None] + cols
-            np.minimum(src, nbuf - 1, out=src)
-            body = data[src]
-            body *= cols < L[:, None]
-            M[:, plen:] = body
-        M[np.arange(m), plen + L] = 0x80
-        bitlen = ((L + plen).astype(np.uint64) * np.uint64(8))
-        M[:, width - 8 : width] = (
-            bitlen.astype("<u8").view(np.uint8).reshape(m, 8)
-        )
-        X = M.view("<u4").reshape(m, int(bcount), 16)
-        state = [np.full(m, v, dtype=np.uint32) for v in _INIT]
-        for blk in range(int(bcount)):
-            state = _compress(state, np.ascontiguousarray(X[:, blk, :]))
-        dig = np.empty((m, 16), dtype=np.uint8)
-        for j, word in enumerate(state):
-            dig[:, j * 4 : j * 4 + 4] = (
-                word.astype("<u4").view(np.uint8).reshape(m, 4)
+        full_idx = np.flatnonzero(nblocks == bcount)
+        for c0 in range(0, full_idx.shape[0], _MSG_CHUNK):
+            idx = full_idx[c0 : c0 + _MSG_CHUNK]
+            out[idx] = _pad_and_compress(
+                data, starts[idx], lengths[idx], pre, int(bcount)
             )
-        out[idx] = dig
     return out
+
+
+def _pad_and_compress(
+    data: np.ndarray,
+    S: np.ndarray,
+    L: np.ndarray,
+    pre: np.ndarray,
+    bcount: int,
+) -> np.ndarray:
+    """Pad one same-block-count message slice and run the rounds."""
+    m = S.shape[0]
+    M = _padded_matrix(data, S, L, pre, bcount)
+    X = M.view("<u4").reshape(m, bcount, 16)
+    state = [np.full(m, v, dtype=np.uint32) for v in _INIT]
+    for blk in range(bcount):
+        state = _compress(state, np.ascontiguousarray(X[:, blk, :]))
+    return _digest_bytes(state, m)
+
+
+def _padded_matrix(
+    data: np.ndarray,
+    S: np.ndarray,
+    L: np.ndarray,
+    pre: np.ndarray,
+    bcount: int,
+) -> np.ndarray:
+    """RFC-1321 padded block matrix for one same-block-count slice.
+
+    Unmasked gather + multiply-by-mask: reading past a message's end
+    (clipped to the buffer) is fine because the mask zeroes those
+    lanes — ~3x faster than the boolean-indexed scatter (profiled:
+    padding construction was 85% of kernel time)."""
+    nbuf = data.shape[0]
+    plen = pre.shape[0]
+    width = bcount * 64
+    m = S.shape[0]
+    M = np.zeros((m, width), dtype=np.uint8)
+    if plen:
+        M[:, :plen] = pre[None, :]
+    cols = np.arange(width - plen, dtype=np.int64)[None, :]
+    if nbuf:
+        src = S[:, None] + cols
+        np.minimum(src, nbuf - 1, out=src)
+        body = data[src]
+        body *= cols < L[:, None]
+        M[:, plen:] = body
+    M[np.arange(m), plen + L] = 0x80
+    bitlen = (L + plen).astype(np.uint64) * np.uint64(8)
+    M[:, width - 8 : width] = (
+        bitlen.astype("<u8").view(np.uint8).reshape(m, 8)
+    )
+    return M
+
+
+def _digest_bytes(state, m: int) -> np.ndarray:
+    dig = np.empty((m, 16), dtype=np.uint8)
+    for j, word in enumerate(state):
+        dig[:, j * 4 : j * 4 + 4] = (
+            word.astype("<u4").view(np.uint8).reshape(m, 4)
+        )
+    return dig
 
 
 def md5_digests_prefixes(
@@ -166,41 +209,29 @@ def md5_digests_prefixes(
     for plen, pis in by_len.items():
         total = lengths + plen
         nblocks = (total + 9 + 63) // 64
+        pre0 = np.frombuffer(prefixes[pis[0]], dtype=np.uint8)
         for bcount in np.unique(nblocks):
-            idx = np.flatnonzero(nblocks == bcount)
-            L = lengths[idx]
-            S = starts[idx]
-            width = int(bcount) * 64
-            m = idx.shape[0]
-            M = np.zeros((m, width), dtype=np.uint8)
-            cols = np.arange(width - plen, dtype=np.int64)[None, :]
-            if nbuf:
-                src = S[:, None] + cols
-                np.minimum(src, nbuf - 1, out=src)
-                body = data[src]
-                body *= cols < L[:, None]
-                M[:, plen:] = body
-            M[np.arange(m), plen + L] = 0x80
-            bitlen = (L + plen).astype(np.uint64) * np.uint64(8)
-            M[:, width - 8 : width] = (
-                bitlen.astype("<u8").view(np.uint8).reshape(m, 8)
-            )
-            X = M.view("<u4").reshape(m, int(bcount), 16)
-            for pi in pis:
-                pre = np.frombuffer(prefixes[pi], dtype=np.uint8)
-                if plen:
-                    M[:, :plen] = pre[None, :]
-                state = [np.full(m, v, dtype=np.uint32) for v in _INIT]
-                for blk in range(int(bcount)):
-                    state = _compress(
-                        state, np.ascontiguousarray(X[:, blk, :])
-                    )
-                dig = np.empty((m, 16), dtype=np.uint8)
-                for j, word in enumerate(state):
-                    dig[:, j * 4 : j * 4 + 4] = (
-                        word.astype("<u4").view(np.uint8).reshape(m, 4)
-                    )
-                out[pi, idx] = dig
+            full_idx = np.flatnonzero(nblocks == bcount)
+            for c0 in range(0, full_idx.shape[0], _MSG_CHUNK):
+                idx = full_idx[c0 : c0 + _MSG_CHUNK]
+                m = idx.shape[0]
+                M = _padded_matrix(
+                    data, starts[idx], lengths[idx], pre0, int(bcount)
+                )
+                X = M.view("<u4").reshape(m, int(bcount), 16)
+                for pi in pis:
+                    if plen:
+                        M[:, :plen] = np.frombuffer(
+                            prefixes[pi], dtype=np.uint8
+                        )[None, :]
+                    state = [
+                        np.full(m, v, dtype=np.uint32) for v in _INIT
+                    ]
+                    for blk in range(int(bcount)):
+                        state = _compress(
+                            state, np.ascontiguousarray(X[:, blk, :])
+                        )
+                    out[pi, idx] = _digest_bytes(state, m)
     return out
 
 
