@@ -214,6 +214,16 @@ def build_session(
             _submitted_conf("spark.sql.execution.arrow.maxRecordsPerBatch")
             or "4096",
         )
+        # byte cap alongside the record cap (Spark 4): the Arrow
+        # kernels allocate working sets proportional to batch BYTES
+        # (normalized token buffers, md5 padding slices), so fat rows
+        # (10 KB+ documents) must not ride a 4096-record batch into
+        # hundreds of MB of worker temporaries
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            _submitted_conf("spark.sql.execution.arrow.maxBytesPerBatch")
+            or str(32 * 1024 * 1024),
+        )
         .config("spark.driver.memory", driver_mem)
         .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.executor.extraJavaOptions", executor_opts)
